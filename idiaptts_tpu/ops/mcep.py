@@ -1,0 +1,140 @@
+"""Mel-cepstral analysis and synthesis as batched matmuls.
+
+Replaces the reference's SPTK calls (``AudioProcessing.py``:
+``extract_mcep`` :142-153 / ``extract_mgc`` :123-140 via ``pysptk.mcep`` /
+``mgcep``, ``mcep_to_amp_sp``/``mgc_to_amp_sp`` :248-275 via
+``pysptk.mgc2sp``, ``fs_to_mgc_alpha`` :33 via ``pysptk.mcepalpha``, and
+nnmnkwii's ``merlin_post_filter`` :19,310).
+
+TPU-native design: with the all-pass warp
+``beta(w) = w + 2*atan(alpha*sin(w) / (1 - alpha*cos(w)))`` the mel
+log-amplitude model is ``log|H(w)| = sum_m c_m cos(m*beta(w))`` — a linear
+map between cepstra and log spectra.  Both directions become single
+matmuls with precomputed warped-cosine bases (MXU work, batched over
+frames), instead of SPTK's per-frame Newton iterations.  For smooth
+CheapTrick-style envelopes the least-squares projection matches SPTK's
+UELS solution closely; parity is asserted to tolerance in tests.
+"""
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def mcep_alpha(fs):
+    """Best all-pass warping coefficient for a sample rate: grid search
+    minimising RMS distance between the warped scale and the mel scale
+    (pysptk.mcepalpha behaviour)."""
+    alphas = np.arange(0.0, 1.0, 0.001)
+    num = 1000
+    omega = np.arange(1, num + 1) / num * np.pi
+    nyq = fs / 2.0
+    freq = omega / np.pi * nyq
+    mel = np.log1p(freq / 1000.0 * 10.0 / 10.0)  # ln(1 + f/1000)
+    mel = mel / mel[-1] * np.pi
+    best_alpha, best_dist = 0.0, np.inf
+    for alpha in alphas:
+        warped = omega + 2.0 * np.arctan2(alpha * np.sin(omega),
+                                          1.0 - alpha * np.cos(omega))
+        dist = np.sqrt(np.mean((warped - mel) ** 2))
+        if dist < best_dist:
+            best_alpha, best_dist = alpha, dist
+    return round(best_alpha, 3)
+
+
+@lru_cache(maxsize=None)
+def fs_to_mgc_alpha(fs):
+    """Known SPTK values for common rates; grid search otherwise
+    (AudioProcessing.fs_to_mgc_alpha parity)."""
+    table = {8000: 0.312, 11025: 0.357, 16000: 0.41, 22050: 0.455,
+             44100: 0.544, 48000: 0.554}
+    return table.get(int(fs), mcep_alpha(fs))
+
+
+def fs_to_frame_length(fs):
+    """CheapTrick FFT size for a sample rate
+    (AudioProcessing.fs_to_frame_length :53, pyworld
+    get_cheaptrick_fft_size with default f0_floor=71):
+    2 ** ceil(log2(3 * fs / f0_floor + 1))."""
+    f0_floor = 71.0
+    return int(2 ** np.ceil(np.log2(3.0 * fs / f0_floor + 1.0)))
+
+
+def warp_frequency(omega, alpha):
+    return omega + 2.0 * np.arctan2(alpha * np.sin(omega),
+                                    1.0 - alpha * np.cos(omega))
+
+
+@lru_cache(maxsize=None)
+def _bases(num_bins, order, alpha):
+    """Precompute (analysis pinv, synthesis basis) for a bin count /
+    cepstral order / warp coefficient.
+
+    synthesis A: (num_bins, order+1) with A[k, m] = cos(m * beta(w_k));
+    analysis:    pinv(A) (order+1, num_bins) — least-squares projection.
+    """
+    omega = np.linspace(0, np.pi, num_bins)
+    beta = warp_frequency(omega, alpha)
+    m = np.arange(order + 1)
+    A = np.cos(beta[:, None] * m[None, :])
+    pinv = np.linalg.pinv(A)
+    # Return numpy so the cache is trace-safe; jit folds them to constants.
+    return pinv.astype(np.float32), A.astype(np.float32)
+
+
+@partial(jax.jit, static_argnames=("order", "alpha"))
+def amp_sp_to_mcep(amp_sp, order, alpha):
+    """Batched mel-cepstral analysis from amplitude spectra.
+
+    amp_sp: (..., num_bins) linear amplitude -> (..., order+1) mcep.
+    Equivalent role to ``pysptk.mcep(x, order, alpha, itype=3)``.
+    """
+    pinv, _ = _bases(amp_sp.shape[-1], order, alpha)
+    log_sp = jnp.log(jnp.maximum(amp_sp, 1e-10))
+    return log_sp @ pinv.T
+
+
+@partial(jax.jit, static_argnames=("num_bins", "alpha"))
+def mcep_to_amp_sp(mcep, num_bins, alpha):
+    """Batched mel-cepstrum -> amplitude spectrum (pysptk.mgc2sp role,
+    AudioProcessing.mcep_to_amp_sp :248-275)."""
+    order = mcep.shape[-1] - 1
+    _, A = _bases(num_bins, order, alpha)
+    return jnp.exp(mcep @ A.T)
+
+
+@partial(jax.jit, static_argnames=("num_bins", "alpha"))
+def mcep_to_log_amp_sp(mcep, num_bins, alpha):
+    order = mcep.shape[-1] - 1
+    _, A = _bases(num_bins, order, alpha)
+    return mcep @ A.T
+
+
+@partial(jax.jit, static_argnames=("alpha", "coef", "num_bins"))
+def merlin_post_filter(mgc, alpha, coef=1.4, num_bins=513):
+    """Formant-emphasis post filter with energy preservation
+    (nnmnkwii merlin_post_filter semantics): boost c_2.. by ``coef``then
+    correct c_0 so total spectral energy is unchanged."""
+    order = mgc.shape[-1] - 1
+    _, A = _bases(num_bins, order, alpha)
+    weights = jnp.ones(order + 1).at[2:].set(coef)
+    mgc_p = mgc * weights
+    e_orig = jnp.sum(jnp.exp(2.0 * (mgc @ A.T)), axis=-1)
+    e_post = jnp.sum(jnp.exp(2.0 * (mgc_p @ A.T)), axis=-1)
+    c0_corr = 0.5 * jnp.log(e_orig / jnp.maximum(e_post, 1e-20))
+    return mgc_p.at[..., 0].add(c0_corr)
+
+
+def min_phase_log_spectrum(log_amp):
+    """Minimum-phase complex log spectrum from a real log-amplitude
+    spectrum via the cepstral method (used by WORLD-style synthesis):
+    zero the anti-causal cepstrum, double the causal part."""
+    num_bins = log_amp.shape[-1]
+    n_fft = 2 * (num_bins - 1)
+    cep = jnp.fft.irfft(log_amp, n=n_fft, axis=-1)
+    lifter = jnp.concatenate([
+        jnp.ones(1), 2.0 * jnp.ones(n_fft // 2 - 1), jnp.ones(1),
+        jnp.zeros(n_fft // 2 - 1)])
+    return jnp.fft.rfft(cep * lifter, n=n_fft, axis=-1)
