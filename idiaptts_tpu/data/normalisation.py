@@ -48,6 +48,14 @@ class MeanStdDevExtractor:
         self.sum_frames = 0
         self.sum_squared_frames = 0
 
+    @staticmethod
+    def _normalise(feature, mean, std_dev):
+        return (feature - mean) / std_dev
+
+    @staticmethod
+    def _denormalise(feature, mean, std_dev):
+        return feature * std_dev + mean
+
     def add_sample(self, sample):
         assert sample is not None
         sample = np.asarray(sample)
@@ -129,6 +137,24 @@ class MeanCovarianceExtractor:
         self.sum_frames = 0
         self.sum_product_frames = 0
 
+    @staticmethod
+    def _cov_to_std(cov_or_std):
+        cov_or_std = np.asarray(cov_or_std)
+        if cov_or_std.ndim == 2 and cov_or_std.shape[0] == cov_or_std.shape[1] \
+                and cov_or_std.shape[0] > 1:
+            return np.sqrt(np.maximum(np.diagonal(cov_or_std), 1e-20))
+        return np.squeeze(cov_or_std)  # already a std-dev vector
+
+    @staticmethod
+    def _normalise(feature, mean, covariance):
+        std = MeanCovarianceExtractor._cov_to_std(covariance)
+        return (feature - np.squeeze(mean)) / std
+
+    @staticmethod
+    def _denormalise(feature, mean, covariance):
+        std = MeanCovarianceExtractor._cov_to_std(covariance)
+        return feature * std + np.squeeze(mean)
+
     def add_sample(self, sample):
         assert sample is not None
         sample = np.asarray(sample)
@@ -200,6 +226,20 @@ class MinMaxExtractor:
     def __init__(self):
         self.combined_min = None
         self.combined_max = None
+
+    @staticmethod
+    def _fix_range(range_):
+        range_ = np.atleast_1d(np.array(range_, dtype=np.float64, copy=True))
+        range_[range_ <= 0] = 1.0
+        return range_
+
+    @staticmethod
+    def _normalise(feature, min_, max_):
+        return (feature - min_) / MinMaxExtractor._fix_range(max_ - min_)
+
+    @staticmethod
+    def _denormalise(feature, min_, max_):
+        return feature * MinMaxExtractor._fix_range(max_ - min_) + min_
 
     def add_sample(self, sample):
         assert sample is not None

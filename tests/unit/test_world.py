@@ -1,0 +1,172 @@
+"""WORLD-equivalent vocoder tests: parity with the reference's pyworld
+tracks on the committed fixtures (to tolerance) and analysis->synthesis
+round-trip fidelity (the test strategy of
+test_WorldFeatLabelGen.py:303-396, adapted to tolerance-based checks as
+the kernels are reformulations, not ports)."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from idiaptts_tpu.ops import mcep as mcep_ops
+from idiaptts_tpu.ops.audio_io import get_raw
+from idiaptts_tpu.ops.world import (cheaptrick, d4c_band_aperiodicity,
+                                    extract_f0, world_synthesis)
+from idiaptts_tpu.ops.world.d4c import (code_aperiodicity,
+                                        decode_aperiodicity,
+                                        get_num_aperiodicities)
+
+UTT = "LJ001-0001"
+
+
+@pytest.fixture(scope="module")
+def analysis(fixtures_dir):
+    raw, fs = get_raw(os.path.join(fixtures_dir, "database", "wav",
+                                   UTT + ".wav"))
+    raw = raw[:fs * 4]
+    f0 = extract_f0(raw, fs)
+    sp = np.asarray(cheaptrick(raw, f0, fs))
+    ap = np.asarray(d4c_band_aperiodicity(raw, f0, fs))
+    return raw, fs, f0, sp, ap
+
+
+def test_f0_parity_with_reference(fixtures_dir):
+    """VUV agreement and voiced RMSE against the reference's
+    DIO+StoneMask lf0/vuv tracks."""
+    agree, rmse, gpe = [], [], []
+    for utt in ["LJ001-0001", "LJ001-0002", "LJ001-0003"]:
+        raw, fs = get_raw(os.path.join(fixtures_dir, "database", "wav",
+                                       utt + ".wav"))
+        f0 = extract_f0(raw, fs)
+        lf0 = np.fromfile(os.path.join(fixtures_dir, "WORLD", "lf0",
+                                       utt + ".lf0"), dtype=np.float32)
+        vuv = np.fromfile(os.path.join(fixtures_dir, "WORLD", "vuv",
+                                       utt + ".vuv"), dtype=np.float32)
+        n = min(len(f0), len(lf0))
+        assert abs(len(f0) - len(lf0)) <= 1  # frame-count convention
+        mine_v = f0[:n] > 0
+        ref_v = vuv[:n] > 0
+        agree.append((mine_v == ref_v).mean())
+        both = mine_v & ref_v
+        f0_ref = np.exp(lf0[:n][both])
+        err = np.abs(f0[:n][both] - f0_ref)
+        rmse.append(np.sqrt(np.mean(err ** 2)))
+        gpe.append((err / f0_ref > 0.2).mean())
+    assert np.mean(agree) > 0.82, np.mean(agree)
+    assert np.mean(rmse) < 25.0, np.mean(rmse)
+    assert np.mean(gpe) < 0.03, np.mean(gpe)
+
+
+def test_f0_synthetic_accuracy():
+    fs = 16000
+    t = np.arange(fs * 2) / fs
+    f0_true = 150 + 50 * np.sin(2 * np.pi * 0.7 * t)
+    phase = 2 * np.pi * np.cumsum(f0_true) / fs
+    sig = np.sin(phase) + 0.4 * np.sin(2 * phase) + 0.2 * np.sin(3 * phase)
+    f0 = extract_f0(sig, fs)
+    ref = 150 + 50 * np.sin(2 * np.pi * 0.7 * np.arange(len(f0)) * 0.005)
+    voiced = f0 > 0
+    assert voiced.mean() > 0.95
+    err = np.abs(f0[voiced] - ref[voiced])
+    assert np.percentile(err, 95) < 3.0
+
+
+def test_f0_silence_is_unvoiced():
+    assert np.all(extract_f0(np.zeros(16000), 16000) == 0)
+
+
+def test_cheaptrick_shapes_and_positivity(analysis):
+    raw, fs, f0, sp, ap = analysis
+    assert sp.shape == (len(f0), 513)
+    assert np.all(sp > 0)
+    assert np.all(np.isfinite(sp))
+    # Relative floor bounds the per-frame dynamic range to ~90 dB.
+    dyn = 10 * (np.log10(sp.max(1)) - np.log10(sp.min(1)))
+    assert dyn.max() < 95.0
+
+
+def test_bap_scale_matches_reference(fixtures_dir, analysis):
+    raw, fs, f0, sp, ap = analysis
+    assert ap.shape[1] == get_num_aperiodicities(fs) == 1
+    bap = np.asarray(code_aperiodicity(ap))
+    bref = np.fromfile(os.path.join(fixtures_dir, "WORLD", "bap",
+                                    UTT + ".bap"),
+                       dtype=np.float32)[:len(f0)]
+    voiced = f0 > 0
+    assert abs(np.median(bap[voiced]) - np.median(bref[voiced])) < 2.0
+    assert np.all(bap <= 0) and np.all(bap >= np.log(1e-9) - 1e-3)
+    # Unvoiced fully aperiodic.
+    assert np.allclose(bap[~voiced], 0.0, atol=1e-4)
+
+
+def test_decode_aperiodicity_anchors():
+    bap = jnp.asarray([[-5.0]])
+    ap = np.asarray(decode_aperiodicity(bap, 513, 16000))
+    assert ap.shape == (1, 513)
+    assert ap[0, 0] < 1e-8           # 0 Hz pinned at floor
+    band_3k = int(3000 / (16000 / 2) * 512)
+    np.testing.assert_allclose(ap[0, band_3k], np.exp(-5.0), rtol=0.05)
+
+
+def test_roundtrip_resynthesis(analysis):
+    """analysis -> synthesis -> re-analysis recovers F0, VUV and the
+    envelope (the pyworld-equivalence criterion)."""
+    raw, fs, f0, sp, ap = analysis
+    bap = np.asarray(code_aperiodicity(ap))
+    ap_full = np.asarray(decode_aperiodicity(jnp.asarray(bap),
+                                             sp.shape[1], fs))
+    wav = np.asarray(world_synthesis(f0, sp, ap_full, fs))
+    assert len(wav) == len(f0) * int(fs * 0.005)
+    # Similar loudness.
+    rms_ratio = np.sqrt((wav ** 2).mean()) / np.sqrt((raw ** 2).mean())
+    assert 0.5 < rms_ratio < 2.0
+
+    f0_2 = extract_f0(wav, fs)
+    n = min(len(f0), len(f0_2))
+    vuv_agree = ((f0[:n] > 0) == (f0_2[:n] > 0)).mean()
+    assert vuv_agree > 0.9, vuv_agree
+    both = (f0[:n] > 0) & (f0_2[:n] > 0)
+    err = np.abs(f0[:n][both] - f0_2[:n][both])
+    assert np.sqrt((err ** 2).mean()) < 10.0
+
+    sp_2 = np.asarray(cheaptrick(wav, f0_2, fs))
+    alpha = mcep_ops.fs_to_mgc_alpha(fs)
+    c1 = np.asarray(mcep_ops.amp_sp_to_mcep(
+        jnp.asarray(np.sqrt(sp[:n])), 19, alpha))
+    c2 = np.asarray(mcep_ops.amp_sp_to_mcep(
+        jnp.asarray(np.sqrt(sp_2[:n])), 19, alpha))
+    mcd = np.mean(np.sqrt(np.sum((c1[both][:, 1:] - c2[both][:, 1:]) ** 2,
+                                 axis=1))) * 10 * np.sqrt(2) / np.log(10)
+    assert mcd < 3.0, mcd  # measured ~1.6 dB
+
+
+def test_synthesis_envelope_calibration():
+    """Re-analysis of a synthesised constant-envelope tone recovers the
+    envelope to ~0.5 dB (the calibration contract in synthesis.py)."""
+    fs, T = 16000, 300
+    f0 = np.full(T, 150.0, np.float32)
+    omega = np.linspace(0, np.pi, 513)
+    sp = np.exp(-6 + 2 * np.cos(2 * omega)
+                - 2 * omega / np.pi)[None, :].repeat(T, 0)
+    ap = np.full((T, 513), 0.01, np.float32)
+    wav = np.asarray(world_synthesis(f0, sp.astype(np.float32), ap, fs))
+    f0e = extract_f0(wav, fs)
+    sp2 = np.asarray(cheaptrick(wav, f0e, fs))
+    d = 10 * np.log10(sp2[50:-50]) - 10 * np.log10(sp[50:-50])
+    assert abs(d.mean()) < 1.0
+    assert d.std() < 1.0
+
+
+def test_noise_only_synthesis_calibration():
+    fs, T = 16000, 300
+    f0 = np.zeros(T, np.float32)
+    omega = np.linspace(0, np.pi, 513)
+    sp = np.exp(-6 + 2 * np.cos(2 * omega)
+                - 2 * omega / np.pi)[None, :].repeat(T, 0)
+    ap = np.ones((T, 513), np.float32)
+    wav = np.asarray(world_synthesis(f0, sp.astype(np.float32), ap, fs))
+    sp2 = np.asarray(cheaptrick(wav, f0, fs))
+    d = 10 * np.log10(sp2[50:-50]) - 10 * np.log10(sp[50:-50])
+    assert abs(d.mean()) < 1.5
