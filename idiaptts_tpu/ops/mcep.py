@@ -85,15 +85,44 @@ def _bases(num_bins, order, alpha):
 
 
 @partial(jax.jit, static_argnames=("order", "alpha"))
-def amp_sp_to_mcep(amp_sp, order, alpha):
-    """Batched mel-cepstral analysis from amplitude spectra.
-
-    amp_sp: (..., num_bins) linear amplitude -> (..., order+1) mcep.
-    Equivalent role to ``pysptk.mcep(x, order, alpha, itype=3)``.
-    """
+def amp_sp_to_mcep_ls(amp_sp, order, alpha):
+    """Log-domain least-squares mel-cepstral projection (cepstral
+    smoothing).  Cheap single matmul; used as the Newton init."""
     pinv, _ = _bases(amp_sp.shape[-1], order, alpha)
     log_sp = jnp.log(jnp.maximum(amp_sp, 1e-10))
     return log_sp @ pinv.T
+
+
+@partial(jax.jit, static_argnames=("order", "alpha", "num_iters"))
+def amp_sp_to_mcep(amp_sp, order, alpha, num_iters=8):
+    """Batched mel-cepstral analysis from amplitude spectra with SPTK's
+    UELS criterion (``pysptk.mcep(x, order, alpha, itype=3)`` role).
+
+    Minimises ``eps = mean(exp(R) - R - 1)`` with
+    ``R = log I - 2 * c @ A^T`` (I = power spectrum) by damped Newton
+    iterations — the asymmetric criterion fits spectral peaks tightly
+    like SPTK, unlike the symmetric log-LS projection.  Everything is
+    batched matmul/einsum work on the MXU: per frame the Hessian is
+    ``(order+1)^2`` from one weighted basis product.
+    """
+    num_bins = amp_sp.shape[-1]
+    _, A = _bases(num_bins, order, alpha)          # (K, M)
+    A = jnp.asarray(A)
+    log_I = 2.0 * jnp.log(jnp.maximum(amp_sp, 1e-10))   # power, natural log
+    c = amp_sp_to_mcep_ls(amp_sp, order, alpha)
+
+    eye = jnp.eye(order + 1) * 1e-4
+
+    def body(_, c):
+        R = log_I - 2.0 * (c @ A.T)                 # (..., K)
+        w = jnp.exp(jnp.clip(R, -30.0, 30.0))
+        g = -2.0 * ((w - 1.0) @ A) / num_bins       # (..., M)
+        H = 4.0 * jnp.einsum("...k,km,kn->...mn", w, A, A) / num_bins
+        delta = jnp.linalg.solve(H + eye, -g[..., None])[..., 0]
+        delta = jnp.clip(delta, -1.0, 1.0)
+        return c + delta
+
+    return jax.lax.fori_loop(0, num_iters, body, c)
 
 
 @partial(jax.jit, static_argnames=("num_bins", "alpha"))
