@@ -263,10 +263,8 @@ class MinMaxExtractor:
 
     @staticmethod
     def load(file_path, datatype=np.float64):
-        if str(file_path).endswith(".bin"):  # legacy binary format
-            with open(file_path, "rb") as f:
-                struct.unpack("i", f.read(4))
-                arr = np.fromfile(f, dtype=datatype).reshape((2, -1))
+        if str(file_path).endswith(".bin"):  # legacy: headerless (2, D)
+            arr = np.fromfile(file_path, dtype=datatype).reshape((2, -1))
             vmin, vmax = arr[0:1], arr[1:2]
         else:
             archive = np.load(_ensure_npz(file_path))

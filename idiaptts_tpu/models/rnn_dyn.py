@@ -1,0 +1,463 @@
+"""Config-built feed-forward / convolutional / recurrent stacks.
+
+Capability parity with the reference's ``rnn_dyn`` family
+(``models/rnn_dyn/RNNDyn.py`` :26-412 — layer-group container with
+per-group embedding concatenation, the legacy model-string parser
+:150-357 and named presets :379-412; ``Config.py`` :40-111 LayerConfig /
+EmbeddingConfig; ``FFWrapper.py`` / ``RNNWrapper.py`` / ``CNNWrapper.py``
+layer builders; ``Pooling.py`` / ``VanillaVAE`` / ``AlwaysDropout``).
+
+TPU-native design: batch-first (B, T, D) tensors throughout; recurrent
+layers are flax ``nn.RNN`` scans with ``seq_lengths`` masking (which
+reproduces packed-sequence semantics incl. the reverse direction of
+BiLSTMs starting at each sequence's true end); Conv1d via
+``nn.Conv``; dropout/BatchNorm driven by the ``training`` flag.
+"""
+
+import re
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from idiaptts_tpu.models.config import ModelConfig
+from idiaptts_tpu.models.named import merge_inputs, write_outputs
+
+IDENTIFIER = "RNNDYN"
+
+_NONLINS = {
+    "ReLU": nn.relu,
+    "Tanh": jnp.tanh,
+    "Sigmoid": nn.sigmoid,
+    "SELU": nn.selu,
+    "LeakyReLU": nn.leaky_relu,
+    "Softsign": nn.soft_sign,
+    "relu": nn.relu,
+    "tanh": jnp.tanh,
+}
+
+
+def parse_int_set(nputstr):
+    """Parse '0,2-5,7' or '-1' style index sets (misc/utils.parse_int_set
+    role); returns a set of ints, -1 meaning "all groups"."""
+    selection = set()
+    for token in str(nputstr).replace("(", "").replace(")", "").split(","):
+        token = token.strip()
+        if not token:
+            continue
+        if re.fullmatch(r"-?\d+", token):
+            selection.add(int(token))
+        elif "-" in token:
+            lo, hi = token.split("-")
+            selection.update(range(int(lo), int(hi) + 1))
+        else:
+            raise ValueError("Cannot parse int set token: " + token)
+    return selection
+
+
+class LayerConfig:
+    """One layer group (Config.py:40-54 role)."""
+
+    def __init__(self, layer_type, out_dim=None, num_layers=1, nonlin=None,
+                 dropout=0.0, bidirectional=False, kernel_size=None,
+                 stride=1, padding=None, dilation=1, groups=1,
+                 num_embeddings=None, batch_first=True, **kwargs):
+        self.layer_type = layer_type
+        self.out_dim = int(out_dim) if out_dim is not None else None
+        self.num_layers = num_layers
+        self.nonlin = nonlin
+        self.dropout = dropout
+        self.bidirectional = bidirectional
+        self.kernel_size = kernel_size
+        self.stride = stride
+        self.padding = padding
+        self.dilation = dilation
+        self.groups = groups
+        self.num_embeddings = num_embeddings
+        self.batch_first = batch_first
+        self.extra = kwargs
+
+
+class EmbeddingConfig:
+    """Embedding applied to specific layer groups (Config.py:81-111
+    role).  The embedding index arrives as a trailing input column."""
+
+    def __init__(self, embedding_dim, name, num_embeddings,
+                 affected_layer_group_indices=(-1,)):
+        self.embedding_dim = int(embedding_dim)
+        self.name = name
+        self.num_embeddings = int(num_embeddings)
+        self.affected_layer_group_indices = set(
+            affected_layer_group_indices)
+
+
+def _affects(emb_config, group_idx, num_groups):
+    idx_set = emb_config.affected_layer_group_indices
+    return (-1 in idx_set or group_idx in idx_set
+            or (group_idx - num_groups) in idx_set)
+
+
+class _MaskedFlipRNN(nn.Module):
+    """Uni/bi-directional recurrent stack with length-aware reverse."""
+
+    cell_type: str
+    out_dim: int
+    num_layers: int
+    bidirectional: bool
+    dropout: float
+    nonlin: str = None
+
+    def _make_cell(self, idx, direction):
+        if self.cell_type == "LSTM":
+            return nn.OptimizedLSTMCell(self.out_dim,
+                                        name=f"{direction}{idx}")
+        if self.cell_type == "GRU":
+            return nn.GRUCell(self.out_dim, name=f"{direction}{idx}")
+        if self.cell_type == "RNN":
+            act = _NONLINS.get(self.nonlin or "tanh", jnp.tanh)
+            return nn.SimpleCell(self.out_dim, activation_fn=act,
+                                 name=f"{direction}{idx}")
+        raise NotImplementedError(self.cell_type)
+
+    @nn.compact
+    def __call__(self, x, lengths=None, training=False):
+        for layer in range(self.num_layers):
+            fwd = nn.RNN(self._make_cell(layer, "fwd"))
+            out_f = fwd(x, seq_lengths=lengths)
+            if self.bidirectional:
+                bwd = nn.RNN(self._make_cell(layer, "bwd"), reverse=True,
+                             keep_order=True)
+                out_b = bwd(x, seq_lengths=lengths)
+                x = jnp.concatenate([out_f, out_b], axis=-1)
+            else:
+                x = out_f
+            if self.dropout and layer < self.num_layers - 1:
+                x = nn.Dropout(self.dropout,
+                               deterministic=not training)(x)
+        return x
+
+
+class VanillaVAE(nn.Module):
+    """Reparameterised VAE bottleneck layer: emits the latent sample and
+    stores (mu, logvar) for the KLD loss (rnn_dyn VanillaVAE role)."""
+
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x, training=False):
+        mu = nn.Dense(self.out_dim, name="mu")(x)
+        logvar = nn.Dense(self.out_dim, name="logvar")(x)
+        if training:
+            rng = self.make_rng("latent")
+            std = jnp.exp(0.5 * logvar)
+            z = mu + std * jax.random.normal(rng, mu.shape)
+        else:
+            z = mu
+        self.sow("intermediates", "vae_mu", mu)
+        self.sow("intermediates", "vae_logvar", logvar)
+        return z
+
+
+class RNNDyn(nn.Module):
+    """Sequential layer-group stack with per-group embedding concat."""
+
+    config: "Config"
+
+    @nn.compact
+    def __call__(self, inputs, lengths=None, training=False):
+        cfg = self.config
+        num_embs = len(cfg.emb_configs)
+        if num_embs:
+            emb_indices = inputs[..., -num_embs:]
+            x = inputs[..., :-num_embs]
+        else:
+            emb_indices = None
+            x = inputs
+
+        embeddings = []
+        for e_idx, emb_cfg in enumerate(cfg.emb_configs):
+            table = nn.Embed(emb_cfg.num_embeddings,
+                             emb_cfg.embedding_dim,
+                             name="emb_" + str(emb_cfg.name))
+            idx = emb_indices[..., e_idx].astype(jnp.int32)
+            embeddings.append(table(idx))
+
+        num_groups = len(cfg.layer_configs)
+        for g_idx, layer in enumerate(cfg.layer_configs):
+            for e_idx, emb_cfg in enumerate(cfg.emb_configs):
+                if _affects(emb_cfg, g_idx, num_groups):
+                    emb = embeddings[e_idx]
+                    if emb.ndim == x.ndim:
+                        x = jnp.concatenate([x, emb], axis=-1)
+                    else:
+                        x = jnp.concatenate(
+                            [x, jnp.broadcast_to(
+                                emb[:, None],
+                                x.shape[:-1] + (emb.shape[-1],))],
+                            axis=-1)
+            x = self._apply_group(g_idx, layer, x, lengths, training)
+        return x
+
+    def _apply_group(self, g_idx, layer, x, lengths, training):
+        t = layer.layer_type
+        name = "g{}_{}".format(g_idx, t)
+        if t in ("Linear", "FC", "LIN"):
+            for i in range(layer.num_layers):
+                x = nn.Dense(layer.out_dim,
+                             name="{}_{}".format(name, i))(x)
+                if layer.nonlin:
+                    x = _NONLINS[layer.nonlin](x)
+                if layer.dropout:
+                    x = nn.Dropout(layer.dropout,
+                                   deterministic=not training)(x)
+            return x
+        if t in ("LSTM", "GRU", "RNN"):
+            return _MaskedFlipRNN(cell_type=t, out_dim=layer.out_dim,
+                                  num_layers=layer.num_layers,
+                                  bidirectional=layer.bidirectional,
+                                  dropout=layer.dropout,
+                                  nonlin=layer.nonlin,
+                                  name=name)(x, lengths, training)
+        if t.startswith("Conv1d"):
+            nonlin = None
+            for key, fn in _NONLINS.items():
+                if t.endswith(key.upper()) or t.endswith(key):
+                    nonlin = fn
+            kernel = (layer.kernel_size if isinstance(
+                layer.kernel_size, (tuple, list))
+                else (layer.kernel_size,))
+            stride = layer.stride if isinstance(layer.stride,
+                                                (tuple, list)) \
+                else (layer.stride,)
+            if layer.padding is None:
+                padding = "SAME"
+            elif isinstance(layer.padding, str):
+                padding = layer.padding
+            else:
+                pad = layer.padding if isinstance(
+                    layer.padding, (tuple, list)) else (layer.padding,)
+                padding = [(p, p) for p in pad]
+            for i in range(layer.num_layers):
+                x = nn.Conv(layer.out_dim, kernel, strides=stride,
+                            padding=padding,
+                            kernel_dilation=(layer.dilation,)
+                            if np.isscalar(layer.dilation)
+                            else layer.dilation,
+                            feature_group_count=layer.groups,
+                            name="{}_{}".format(name, i))(x)
+                if nonlin is not None:
+                    x = nonlin(x)
+            return x
+        if t == "BatchNorm1d":
+            return nn.BatchNorm(use_running_average=not training,
+                                axis=-1, name=name)(x)
+        if t == "Embedding":
+            table = nn.Embed(layer.num_embeddings, layer.out_dim,
+                             name=name)
+            return table(x[..., 0].astype(jnp.int32))
+        if t == "VanillaVAE":
+            return VanillaVAE(layer.out_dim, name=name)(x, training)
+        if t == "SelectLastPooling":
+            if lengths is None:
+                return x[:, -1]
+            idx = jnp.maximum(lengths - 1, 0).astype(jnp.int32)
+            return jnp.take_along_axis(
+                x, idx[:, None, None].repeat(x.shape[-1], axis=2),
+                axis=1)[:, 0]
+        if t == "MeanPooling":
+            if lengths is None:
+                return jnp.mean(x, axis=1)
+            mask = (jnp.arange(x.shape[1])[None, :]
+                    < lengths[:, None]).astype(x.dtype)
+            return (jnp.sum(x * mask[..., None], axis=1)
+                    / jnp.maximum(lengths[:, None], 1))
+        if t == "Softmax":
+            return jax.nn.softmax(x, axis=-1)
+        if t == "LogSoftmax":
+            return jax.nn.log_softmax(x, axis=-1)
+        if t == "Exp":
+            return jnp.exp(x)
+        if t == "Dropout":
+            return nn.Dropout(layer.dropout,
+                              deterministic=not training)(x)
+        if t == "AlwaysDropout":
+            # Active at inference too (AlwaysDropout.py role).
+            return nn.Dropout(layer.dropout, deterministic=False)(x)
+        raise NotImplementedError("Unknown layer type " + t)
+
+    class Config(ModelConfig):
+        def __init__(self, in_dim=None, layer_configs=None,
+                     emb_configs=None, hparams=None, **kwargs):
+            super().__init__(**kwargs)
+            self.in_dim = in_dim
+            self.layer_configs = list(layer_configs or [])
+            self.emb_configs = list(emb_configs or [])
+
+        def create_model(self):
+            from idiaptts_tpu.models.named import NamedForwardWrapper
+            core = RNNDyn(config=self)
+            if self.input_names:
+                return NamedForwardWrapper(
+                    wrapped=_CallAdapter(core),
+                    input_names=self.input_names,
+                    output_names=self.output_names or ("pred",),
+                    input_merge_type=self.input_merge_type,
+                    teacher_forcing_input_names=
+                    self.teacher_forcing_input_names)
+            return core
+
+    LayerConfig = LayerConfig
+    EmbeddingConfig = EmbeddingConfig
+
+
+class _CallAdapter(nn.Module):
+    """Adapts RNNDyn's (inputs, lengths, training) call to the wrapper's
+    kwargs convention."""
+
+    inner: nn.Module
+
+    def __call__(self, inputs, lengths=None, training=False):
+        return self.inner(inputs, lengths=lengths, training=training)
+
+
+# Attach configs under the names the reference exposes.
+Config = RNNDyn.Config
+
+
+def convert_legacy_string(model_string, in_dim, hparams=None,
+                          f_get_emb_index=None, dropout=0.0,
+                          batch_first=True):
+    """Legacy model-string -> Config
+    (RNNDyn._get_config_from_legacy_string :150-357 grammar):
+    ``RNNDYN-(-1)x(10x5)_EMB_(0,1)-2_RELU_1024-3_BiLSTM_512-1_FC_67``.
+    """
+    if hparams is not None:
+        dropout = hparams.get("dropout", dropout)
+        f_get_emb_index = hparams.get("f_get_emb_index", f_get_emb_index)
+        batch_first = hparams.get("batch_first", True)
+    groups = re.split(r"-\s*(?![^()]*\))", model_string)
+    if groups and groups[0].upper().startswith(IDENTIFIER):
+        groups = groups[1:]
+    if not groups:
+        raise ValueError("Empty RNNDYN configuration: " + model_string)
+
+    in_dim_total = int(np.prod(in_dim)) if not np.isscalar(in_dim) \
+        else int(in_dim)
+    in_dim_without_embs = in_dim_total
+    emb_configs = []
+    layer_configs = []
+    embeddings_done = False
+
+    for group in groups:
+        attrs = group.split("_")
+        layer_type = attrs[1]
+        bidirectional = False
+        if layer_type.startswith("Bi"):
+            bidirectional = True
+            layer_type = layer_type[2:]
+
+        if layer_type == "EMB":
+            if embeddings_done:
+                raise NotImplementedError(
+                    "Embedding layers must come first.")
+            num_embeddings, embedding_dim = attrs[0].replace(
+                "(", "").replace(")", "").split("x")
+            affected = parse_int_set(attrs[2])
+            if int(num_embeddings) < 0:
+                if f_get_emb_index is None:
+                    raise ValueError(
+                        "EMB layer needs f_get_emb_index in hparams.")
+                num_embeddings = 0  # resolved by caller
+            emb_configs.append(EmbeddingConfig(
+                int(embedding_dim), str(len(emb_configs)),
+                int(num_embeddings), affected))
+            in_dim_without_embs -= 1
+            continue
+        embeddings_done = True
+
+        n_layers = int(attrs[0])
+        out_dim = int(attrs[2])
+        norm_type = None
+        if layer_type.startswith("BatchNorm1d"):
+            norm_type = "BatchNorm1d"
+            layer_type = layer_type[len("BatchNorm1d"):]
+
+        nonlin = {"RELU": "ReLU", "TANH": "Tanh",
+                  "SIGMOID": "Sigmoid"}.get(layer_type.upper())
+
+        if layer_type in ("LSTM", "GRU", "RNNTANH", "RNNRELU"):
+            if layer_type.startswith("RNN"):
+                nonlin = {"RNNTANH": "tanh", "RNNRELU": "relu"}[layer_type]
+                layer_type = "RNN"
+            layer_configs.append(LayerConfig(
+                layer_type=layer_type, out_dim=out_dim,
+                num_layers=n_layers, nonlin=nonlin,
+                dropout=dropout if n_layers > 1 else 0.0,
+                bidirectional=bidirectional))
+        elif layer_type.startswith("Conv1d"):
+            kernel = tuple(map(int, attrs[3].split("x")))
+            stride, padding = 1, int((kernel[0] - 1) / 2)
+            dilation, conv_groups = 1, 1
+            for param in attrs[4:]:
+                if param[0] == "s":
+                    stride = tuple(map(int, param[1:].split("x")))
+                elif param[0] == "p":
+                    padding = tuple(map(int, param[1:].split("x")))
+                elif param[0] == "d":
+                    dilation = tuple(map(int, param[1:].split("x")))
+                elif param[0] == "g":
+                    conv_groups = int(param[1:])
+            layer_configs.append(LayerConfig(
+                layer_type=layer_type, out_dim=out_dim,
+                num_layers=n_layers, kernel_size=kernel, stride=stride,
+                padding=padding, dilation=dilation, groups=conv_groups))
+        elif layer_type.startswith("Emb"):
+            layer_configs.append(LayerConfig(
+                layer_type="Embedding", out_dim=int(attrs[2]),
+                num_embeddings=int(attrs[3])))
+        elif layer_type.startswith("Pool"):
+            if layer_type == "PoolLast":
+                layer_configs.append(LayerConfig(
+                    layer_type="SelectLastPooling"))
+            else:
+                raise NotImplementedError(layer_type)
+        elif "VAE" in layer_type:
+            layer_configs.append(LayerConfig(layer_type="VanillaVAE",
+                                             out_dim=out_dim))
+        else:
+            layer_configs.append(LayerConfig(
+                layer_type="Linear", out_dim=out_dim,
+                num_layers=n_layers, nonlin=nonlin, dropout=dropout))
+        if norm_type is not None:
+            layer_configs.append(LayerConfig(layer_type=norm_type,
+                                             out_dim=out_dim))
+    return Config(in_dim=in_dim_without_embs, batch_first=batch_first,
+                  layer_configs=layer_configs, emb_configs=emb_configs)
+
+
+# -- named presets (RNNDyn.py:379-412 role) --------------------------------
+
+def merlin_acoustic_config(in_dim, out_dim, hparams=None, dropout=0.05):
+    return convert_legacy_string(
+        "RNNDYN-6_TANH_1024-1_FC_{}".format(out_dim), in_dim,
+        hparams=hparams, dropout=dropout)
+
+
+def interspeech18_baseline_config(in_dim, out_dim, hparams=None,
+                                  dropout=0.0):
+    return convert_legacy_string(
+        "RNNDYN-2_RELU_1024-3_BiLSTM_512-1_FC_{}".format(out_dim),
+        in_dim, hparams=hparams, dropout=dropout)
+
+
+def icassp19_baseline_config(in_dim, out_dim, hparams=None, dropout=0.0):
+    return convert_legacy_string(
+        "RNNDYN-2_RELU_1024-3_BiGRU_427-1_FC_{}".format(out_dim),
+        in_dim, hparams=hparams, dropout=dropout)
+
+
+def baseline_rnn_config(in_dim, out_dim, hparams=None):
+    return convert_legacy_string(
+        "RNNDYN-1_RELU_32-1_FC_{}".format(out_dim), in_dim,
+        hparams=hparams)

@@ -1,0 +1,131 @@
+"""Synthesiser: vocoder backend dispatch.
+
+Capability parity with ``idiaptts/src/Synthesiser.py`` (:35-351):
+``run_world_synth`` :38-80 (WORLD features -> wav files),
+``run_raw_synth`` :167-180, ``raw_to_file`` :181-201,
+``run_wavenet_vocoder`` :244-319 (neural vocoder hook) and
+``run_griffin_lim(_on_log)`` :320-351 — with the DSP running on the JAX
+kernels instead of pyworld/librosa, and plain WAV output instead of
+pydub/ffmpeg.
+"""
+
+import logging
+import os
+
+import numpy as np
+
+from idiaptts_tpu.data.world_feat import WorldFeatLabelGen
+from idiaptts_tpu.ops import audio_io
+from idiaptts_tpu.ops import mcep as mcep_ops
+from idiaptts_tpu.ops import stft as stft_ops
+
+logger = logging.getLogger(__name__)
+
+
+class Synthesiser:
+
+    @staticmethod
+    def _out_path(id_name, hparams, suffix=""):
+        out_dir = hparams.get("synth_dir") or os.path.join(
+            hparams.get("out_dir") or ".", "synth")
+        os.makedirs(out_dir, exist_ok=True)
+        ext = hparams.get("synth_ext", "wav")
+        return os.path.join(out_dir, "{}{}.{}".format(id_name, suffix,
+                                                      ext))
+
+    @staticmethod
+    def run_world_synth(synth_output, hparams, epoch=None,
+                        use_model_name=True):
+        """{id: [coded_sp, lf0, vuv, bap]} -> wav files
+        (Synthesiser.run_world_synth :38-80 role)."""
+        fs = hparams.get("synth_fs", 16000)
+        num_coded_sps = hparams.get("num_coded_sps", 60)
+        alpha = mcep_ops.fs_to_mgc_alpha(fs)
+        paths = {}
+        for id_name, sample in synth_output.items():
+            sample = np.asarray(sample)
+            coded_sp, lf0, vuv, bap = \
+                WorldFeatLabelGen.convert_to_world_features(
+                    sample, contains_deltas=False,
+                    num_coded_sps=num_coded_sps)
+            if hparams.get("do_post_filtering"):
+                import jax.numpy as jnp
+                coded_sp = np.asarray(mcep_ops.merlin_post_filter(
+                    jnp.asarray(coded_sp), alpha))
+            amp_sp = WorldFeatLabelGen.mcep_to_amp_sp(coded_sp, fs,
+                                                      alpha)
+            raw = WorldFeatLabelGen.world_features_to_raw(
+                amp_sp, lf0, vuv, bap, fs,
+                hparams.get("frame_size_ms", 5))
+            suffix = "_e{}".format(epoch) if epoch is not None else ""
+            if use_model_name and hparams.get("model_name"):
+                suffix += "_" + str(hparams.model_name)
+            path = Synthesiser._out_path(id_name, hparams, suffix)
+            audio_io.raw_to_file(path, _norm_loudness(raw), fs)
+            logger.info("Wrote %s", path)
+            paths[id_name] = path
+        return paths
+
+    @staticmethod
+    def run_raw_synth(synth_output, hparams, epoch=None):
+        """{id: waveform} -> wav files (run_raw_synth :167-180)."""
+        fs = hparams.get("synth_fs", 16000)
+        paths = {}
+        for id_name, raw in synth_output.items():
+            path = Synthesiser._out_path(id_name, hparams)
+            audio_io.raw_to_file(path, _norm_loudness(np.squeeze(raw)),
+                                 fs)
+            paths[id_name] = path
+        return paths
+
+    @staticmethod
+    def raw_to_file(id_name, raw, hparams):
+        path = Synthesiser._out_path(id_name, hparams)
+        return audio_io.raw_to_file(path, _norm_loudness(raw),
+                                    hparams.get("synth_fs", 16000))
+
+    @staticmethod
+    def run_griffin_lim(synth_output, hparams, epoch=None,
+                        on_log=False):
+        """{id: amplitude spectrogram (T, bins)} -> wav files via
+        Griffin-Lim (run_griffin_lim(_on_log) :320-351)."""
+        import jax.numpy as jnp
+        fs = hparams.get("synth_fs", 16000)
+        hop = int(fs * hparams.get("frame_size_ms", 5) / 1000)
+        paths = {}
+        for id_name, amp in synth_output.items():
+            amp = np.asarray(amp)
+            if on_log:
+                amp = np.exp(amp)
+            n_fft = (amp.shape[1] - 1) * 2
+            raw = np.asarray(stft_ops.griffin_lim(
+                jnp.asarray(amp), n_fft, hop, num_iters=60))
+            path = Synthesiser._out_path(id_name, hparams)
+            audio_io.raw_to_file(path, _norm_loudness(raw), fs)
+            paths[id_name] = path
+        return paths
+
+    @staticmethod
+    def run_wavenet_vocoder(synth_output, hparams, epoch=None):
+        """{id: conditioning features} -> wav via the WaveNet vocoder
+        (run_wavenet_vocoder :244-319 role).  Requires a trained
+        WaveNet checkpoint at hparams.synth_vocoder_path."""
+        from idiaptts_tpu.models.wavenet import WaveNetVocoder
+        vocoder = WaveNetVocoder.load(hparams.synth_vocoder_path,
+                                      hparams)
+        fs = hparams.get("synth_fs", 16000)
+        paths = {}
+        for id_name, cond in synth_output.items():
+            raw = vocoder.generate(np.asarray(cond))
+            path = Synthesiser._out_path(id_name, hparams)
+            audio_io.raw_to_file(path, _norm_loudness(raw), fs)
+            paths[id_name] = path
+        return paths
+
+
+def _norm_loudness(raw, peak=0.85):
+    raw = np.asarray(raw, np.float32)
+    max_abs = np.abs(raw).max()
+    if max_abs > peak:
+        raw = raw / max_abs * peak
+    return raw

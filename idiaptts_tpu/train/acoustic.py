@@ -1,0 +1,170 @@
+"""Acoustic model trainer: linguistic questions -> WORLD features.
+
+Capability parity with ``model_trainers/AcousticModelTrainer.py``
+(:55-528): questions input, cmp (coded_sp+lf0+vuv+bap with deltas)
+target, default biLSTM model from the legacy string (:169-177), default
+MSE loss (:179-185), MCD/F0-RMSE/VDE/BAP benchmark (``compute_score``
+:402-432 using original WORLD features from ``hparams.world_dir``),
+WORLD synthesis and org-feature synth override (:457-520).
+"""
+
+import logging
+import os
+
+import numpy as np
+
+from idiaptts_tpu.data.questions import QuestionLabelGen
+from idiaptts_tpu.data.world_feat import WorldFeatLabelGen
+from idiaptts_tpu.hparams import ExtendedHParams
+from idiaptts_tpu.models.losses import NamedLoss
+from idiaptts_tpu.models.rnn_dyn import convert_legacy_string
+from idiaptts_tpu.synth.metrics import Metrics
+from idiaptts_tpu.synth.synthesiser import Synthesiser
+from idiaptts_tpu.train.trainer import ModularTrainer
+
+logger = logging.getLogger(__name__)
+
+
+class AcousticModelTrainer(ModularTrainer):
+
+    def __init__(self, hparams, id_list, dir_question_labels=None,
+                 dir_world_features=None):
+        super().__init__(hparams, id_list)
+        self.dir_question_labels = dir_question_labels \
+            or hparams.get("dir_question_labels")
+        self.dir_world_features = dir_world_features \
+            or hparams.get("world_dir")
+        self.post_processing_mapping = {"pred_acoustic_features":
+                                        "cmp_features"}
+
+    @staticmethod
+    def create_hparams(hparams_string=None, verbose=False):
+        hparams = ExtendedHParams.create_hparams(hparams_string, verbose)
+        hparams.add_hparams(
+            num_questions=409,
+            question_file=None,
+            num_coded_sps_acoustic=None,
+            metrics=[Metrics.MCD, Metrics.F0_RMSE, Metrics.VDE,
+                     Metrics.BAP_distortion],
+        )
+        hparams.setattr_no_type_check("add_deltas", True)
+        return hparams
+
+    def default_data_reader_configs(self, hparams):
+        input_config = QuestionLabelGen.Config(
+            name="questions",
+            directory=self.dir_question_labels,
+            num_questions=hparams.get("num_questions", 409),
+            norm_params=None)
+        output_config = WorldFeatLabelGen.Config(
+            name="cmp_features",
+            output_names=("acoustic_features",),
+            directory=self.dir_world_features,
+            add_deltas=hparams.get("add_deltas", True),
+            num_coded_sps=hparams.get("num_coded_sps", 60),
+            sp_type=hparams.get("sp_type", "mcep"),
+            match_length="questions")
+        input_config.match_length = ("acoustic_features",)
+        return [input_config, output_config]
+
+    def default_model_config(self, hparams, dim_in, dim_out):
+        cfg = convert_legacy_string(
+            "RNNDYN-2_RELU_1024-3_BiLSTM_512-1_FC_{}".format(dim_out),
+            dim_in, dropout=hparams.get("dropout", 0.0)
+            if "dropout" in hparams else 0.0)
+        cfg.input_names = ("questions",)
+        cfg.output_names = ("pred_acoustic_features",)
+        return cfg
+
+    def default_loss_configs(self, hparams):
+        return [NamedLoss.Config(
+            "mse", "MSELoss",
+            ("pred_acoustic_features", "acoustic_features"),
+            seq_mask="_seq_mask", reduction="mean_per_frame")]
+
+    def init(self, hparams, model_config=None, loss_configs=None,
+             data_reader_configs=None):
+        if data_reader_configs is None:
+            data_reader_configs = self.default_data_reader_configs(
+                hparams)
+        self.data_reader_configs = data_reader_configs
+        self._setup_datareaders(hparams)
+        self._setup_datasets(hparams)
+        if model_config is None:
+            example = self._example_batch(hparams)
+            dim_in = example["questions"].shape[-1]
+            dim_out = example["acoustic_features"].shape[-1]
+            model_config = self.default_model_config(hparams, dim_in,
+                                                     dim_out)
+        if loss_configs is None:
+            loss_configs = self.default_loss_configs(hparams)
+        return super().init(hparams, model_config, loss_configs,
+                            data_reader_configs)
+
+    # -- benchmark --------------------------------------------------------
+    def compute_score(self, hparams, results):
+        """MCD / F0-RMSE / VDE / BAP against original WORLD features
+        (compute_score :402-432 role)."""
+        num_coded_sps = hparams.get("num_coded_sps", 60)
+        metric_names = hparams.get(
+            "metrics", [Metrics.MCD, Metrics.F0_RMSE, Metrics.VDE,
+                        Metrics.BAP_distortion])
+        metrics = Metrics(metric_names)
+        for id_name, sample in results.items():
+            output = np.asarray(sample["pred_acoustic_features"])
+            out_sp, out_lf0, out_vuv, out_bap = \
+                WorldFeatLabelGen.convert_to_world_features(
+                    output, contains_deltas=False,
+                    num_coded_sps=num_coded_sps)
+            org = WorldFeatLabelGen.load_sample(
+                id_name, self.dir_world_features, add_deltas=False,
+                num_coded_sps=num_coded_sps,
+                sp_type=hparams.get("sp_type", "mcep"))
+            org_sp, org_lf0, org_vuv, org_bap = \
+                WorldFeatLabelGen.convert_to_world_features(
+                    org, contains_deltas=False,
+                    num_coded_sps=num_coded_sps)
+            metrics.accumulate(id_name, Metrics.get_metrics(
+                metric_names, org_coded_sp=org_sp, org_lf0=org_lf0,
+                org_vuv=org_vuv, org_bap=org_bap,
+                output_coded_sp=out_sp, output_lf0=out_lf0,
+                output_vuv=out_vuv, output_bap=out_bap))
+        metrics.log()
+        return tuple(metrics.get_cum_values())
+
+    # -- synthesis --------------------------------------------------------
+    def gen_waveform(self, hparams, results, use_org_features=False):
+        synth_output = {}
+        for id_name, sample in results.items():
+            if use_org_features:
+                feats = WorldFeatLabelGen.load_sample(
+                    id_name, self.dir_world_features, add_deltas=False,
+                    num_coded_sps=hparams.get("num_coded_sps", 60),
+                    sp_type=hparams.get("sp_type", "mcep"))
+            else:
+                feats = np.asarray(sample["pred_acoustic_features"])
+            synth_output[id_name] = feats
+        vocoder = hparams.get("synth_vocoder", "WORLD")
+        if vocoder == "WORLD":
+            return Synthesiser.run_world_synth(
+                synth_output, hparams, epoch=self.total_epoch)
+        if vocoder == "raw":
+            return Synthesiser.run_raw_synth(synth_output, hparams)
+        if vocoder == "GriffinLim":
+            return Synthesiser.run_griffin_lim(synth_output, hparams)
+        if vocoder == "r9y9wavenet" or vocoder == "wavenet":
+            return Synthesiser.run_wavenet_vocoder(synth_output, hparams)
+        raise NotImplementedError("Unknown vocoder " + vocoder)
+
+    def synth(self, hparams, id_list, use_org_features=False):
+        if use_org_features:
+            return self.gen_waveform(hparams,
+                                     {i: {} for i in id_list},
+                                     use_org_features=True)
+        return super().synth(hparams, id_list)
+
+    def copy_synth(self, hparams, id_list):
+        """Synthesise directly from the original extracted features
+        (ModularTrainer.copy_synth :1093-1119 role)."""
+        return self.gen_waveform(hparams, {i: {} for i in id_list},
+                                 use_org_features=True)

@@ -1,0 +1,510 @@
+"""Model handler: the training/inference engine.
+
+Capability parity with ``ModularModelHandlerPyTorch.py`` (:42-1019):
+model create/save/load with config.json + ``params_{e<N>|s<N>|best|last}``
+checkpoint layout (:71-262), ``layer_map`` regex renaming (:264-283),
+``ignore_layers`` partial loading (:285-309), optimiser/scheduler
+factories (:553-656), the epoch loop ``process_dataloader`` (:683-882),
+batched ``inference`` (:964-993), EMA (:57,672-681), gradient clipping
+and inf-replacement (:807-818, 898-910).
+
+TPU-native design: the train step is one jit-compiled pure function
+(forward, masked losses, grads, optax update, EMA) specialised per batch
+bucket shape; data parallelism is a 1-D ``jax.sharding.Mesh`` with the
+batch sharded over the ``data`` axis and parameters replicated — XLA
+inserts the gradient all-reduce over ICI (no DataParallel scatter /
+gather, no remainder dropping).
+"""
+
+import glob
+import json
+import logging
+import os
+import re
+from functools import partial
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from idiaptts_tpu.data.dataset import collate_batch
+from idiaptts_tpu.models.config import ModelConfig
+from idiaptts_tpu.train.schedulers import create_scheduler
+
+logger = logging.getLogger(__name__)
+
+
+class ExponentialMovingAverage:
+    """Shadow parameter EMA (ExponentialMovingAverage.py:13-45 role)."""
+
+    def __init__(self, params, decay=0.9999):
+        self.decay = decay
+        self.shadow = jax.tree_util.tree_map(jnp.copy, params)
+
+    def update(self, params):
+        d = self.decay
+        self.shadow = jax.tree_util.tree_map(
+            lambda s, p: s * d + (1.0 - d) * p, self.shadow, params)
+
+
+class ModularModelHandler:
+    """Backend engine for one model."""
+
+    def __init__(self):
+        self.model = None
+        self.model_config = None
+        self.params = None
+        self.batch_stats = None
+        self.optimiser = None
+        self.opt_state = None
+        self.scheduler = None
+        self.losses = []
+        self.ema = None
+        self.model_type = None
+        self.dim_in = None
+        self.dim_out = None
+        self.mesh = None
+        self.total_steps = 0
+        self._train_step_fn = None
+        self._eval_step_fn = None
+        self._rng = jax.random.PRNGKey(42)
+
+    # -- mesh / sharding --------------------------------------------------
+    def setup_mesh(self, num_devices=None, axis_name="data"):
+        devices = jax.devices()
+        if num_devices is not None:
+            devices = devices[:num_devices]
+        self.mesh = Mesh(np.array(devices), (axis_name,))
+        self.axis_name = axis_name
+        return self.mesh
+
+    def _shard_batch(self, batch):
+        if self.mesh is None or len(self.mesh.devices.flat) == 1:
+            return batch
+        sharding = NamedSharding(self.mesh, P(self.axis_name))
+        num = len(self.mesh.devices.flat)
+
+        def put(x):
+            if isinstance(x, np.ndarray) and x.ndim >= 1 \
+                    and x.shape[0] % num == 0:
+                return jax.device_put(x, sharding)
+            return x
+        return {k: put(v) if not isinstance(v, dict) else v
+                for k, v in batch.items()}
+
+    # -- model creation ---------------------------------------------------
+    def create_model(self, model_config, hparams=None, dim_in=None,
+                     dim_out=None, example_batch=None):
+        self.model_config = model_config
+        self.model = model_config.create_model()
+        self.dim_in, self.dim_out = dim_in, dim_out
+        if example_batch is not None:
+            self.init_params(example_batch)
+        return self.model
+
+    def init_params(self, example_batch, seed=1234):
+        rng = jax.random.PRNGKey(seed)
+        data, lengths = self._batch_to_model_input(example_batch)
+        variables = self.model.init(
+            {"params": rng, "dropout": rng, "latent": rng},
+            data, lengths=lengths, training=True)
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats")
+        return self.params
+
+    @staticmethod
+    def _batch_to_model_input(batch):
+        data = {k: jnp.asarray(v) for k, v in batch.items()
+                if not k.startswith("_") or k == "_seq_mask"}
+        lengths_dict = batch.get("_lengths")
+        lengths = None
+        if lengths_dict:
+            first = next(iter(lengths_dict.values()))
+            lengths = jnp.asarray(first)
+        return data, lengths
+
+    # -- optimiser / scheduler / losses -----------------------------------
+    def set_optimiser(self, hparams):
+        name = hparams.get("optimiser_type", "Adam")
+        args = dict(hparams.get("optimiser_args", {}) or {})
+        lr = hparams.get("learning_rate")
+        if lr is None:
+            lr = args.pop("lr", 1e-3)
+        else:
+            args.pop("lr", None)
+        self.base_lr = lr
+        chain = []
+        if hparams.get("grad_clip_norm_type") is not None \
+                and hparams.get("grad_clip_max_norm") is not None:
+            chain.append(optax.clip_by_global_norm(
+                hparams.grad_clip_max_norm))
+        if hparams.get("grad_clip_thresh") is not None:
+            chain.append(optax.clip(hparams.grad_clip_thresh))
+        if name == "Adam":
+            opt = optax.inject_hyperparams(optax.adam)(
+                learning_rate=lr, **args)
+        elif name == "SGD":
+            opt = optax.inject_hyperparams(optax.sgd)(
+                learning_rate=lr, **args)
+        elif callable(name):
+            opt = name(lr)
+        else:
+            raise NotImplementedError("Unknown optimiser " + str(name))
+        chain.append(opt)
+        self.optimiser = optax.chain(*chain)
+        self._opt_index = len(chain) - 1
+        if self.params is not None:
+            self.opt_state = self.optimiser.init(self.params)
+        self.replace_inf_grads_by_zero = hparams.get(
+            "replace_inf_grads_by_zero", False)
+        self._train_step_fn = None
+
+    def set_scheduler(self, hparams):
+        self.scheduler = create_scheduler(
+            hparams.get("scheduler_type", "default"), self.base_lr,
+            hparams.get("scheduler_args", {}), hparams)
+        self.iterations_per_scheduler_step = hparams.get(
+            "iterations_per_scheduler_step")
+        self.epochs_per_scheduler_step = hparams.get(
+            "epochs_per_scheduler_step")
+
+    def set_losses(self, loss_configs):
+        self.losses = [c.create_loss() for c in loss_configs]
+
+    def set_ema(self, hparams):
+        decay = hparams.get("ema_decay")
+        if decay is None and hparams.get("exponential_moving_average"):
+            decay = hparams.get("exponential_moving_average_decay", 0.9999)
+        if decay:
+            self.ema = ExponentialMovingAverage(self.params, decay)
+
+    # -- jit steps --------------------------------------------------------
+    def _loss_fn(self, params, batch_stats, batch_data, lengths, rngs,
+                 step, training):
+        variables = {"params": params}
+        mutable = ["intermediates"]
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+            if training:
+                mutable.append("batch_stats")
+        out, updates = self.model.apply(
+            variables, batch_data, lengths=lengths, training=training,
+            rngs=rngs, mutable=mutable)
+        # Surface VAE intermediates for the KLD loss.
+        inter = updates.get("intermediates", {}) if updates else {}
+        flat_out = dict(out)
+        for key, value in _flatten_intermediates(inter).items():
+            flat_out[key] = value
+        total = 0.0
+        loss_values = {}
+        for loss in self.losses:
+            value = loss(flat_out, step)
+            loss_values[loss.name] = value
+            total = total + value
+        return total, (loss_values, out,
+                       updates.get("batch_stats") if updates else None)
+
+    def _make_train_step(self):
+        optimiser = self.optimiser
+
+        @jax.jit
+        def train_step(params, batch_stats, opt_state, batch_data,
+                       lengths, rng, step, lr):
+            rngs = {"dropout": rng, "latent": rng}
+            (total, (loss_values, _, new_stats)), grads = \
+                jax.value_and_grad(self._loss_fn, has_aux=True)(
+                    params, batch_stats, batch_data, lengths, rngs, step,
+                    True)
+            if self.replace_inf_grads_by_zero:
+                grads = jax.tree_util.tree_map(
+                    lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads)
+            opt_state = _set_lr(opt_state, self._opt_index, lr)
+            updates, opt_state = optimiser.update(grads, opt_state,
+                                                  params)
+            params = optax.apply_updates(params, updates)
+            grad_norm = optax.global_norm(grads)
+            return params, opt_state, total, loss_values, grad_norm, \
+                new_stats
+
+        return train_step
+
+    def _make_eval_step(self):
+        @jax.jit
+        def eval_step(params, batch_stats, batch_data, lengths, step):
+            total, (loss_values, out, _) = self._loss_fn(
+                params, batch_stats, batch_data, lengths,
+                {"dropout": jax.random.PRNGKey(0),
+                 "latent": jax.random.PRNGKey(0)}, step, False)
+            return total, loss_values, out
+        return eval_step
+
+    # -- epoch processing -------------------------------------------------
+    def process_batches(self, batches, training=True, step_offset=None,
+                        current_epoch=None):
+        """Run one pass over collated batches; returns mean total loss
+        and per-loss means (process_dataloader :683-882 role)."""
+        if training and self._train_step_fn is None:
+            self._train_step_fn = self._make_train_step()
+        if not training and self._eval_step_fn is None:
+            self._eval_step_fn = self._make_eval_step()
+        totals, counts = {}, 0
+        total_sum = 0.0
+        for batch in batches:
+            batch = self._shard_batch(batch)
+            data, lengths = self._batch_to_model_input(batch)
+            if training:
+                self._rng, rng = jax.random.split(self._rng)
+                lr = self.scheduler.lr(self.total_steps + 1) \
+                    if self.scheduler else self.base_lr
+                if self.iterations_per_scheduler_step and self.scheduler:
+                    if (self.total_steps + 1) % \
+                            self.iterations_per_scheduler_step == 0:
+                        lr = self.scheduler.lr(self.total_steps + 1)
+                # step/lr as traced scalars: python ints would retrace
+                # the jitted step every iteration.
+                (self.params, self.opt_state, total, loss_values,
+                 grad_norm, new_stats) = self._train_step_fn(
+                    self.params, self.batch_stats, self.opt_state, data,
+                    lengths, rng, jnp.asarray(self.total_steps),
+                    jnp.asarray(lr, jnp.float32))
+                if new_stats is not None:
+                    self.batch_stats = new_stats
+                if self.ema is not None:
+                    self.ema.update(self.params)
+                self.total_steps += 1
+            else:
+                total, loss_values, _ = self._eval_step_fn(
+                    self.params, self.batch_stats, data, lengths,
+                    jnp.asarray(self.total_steps))
+            total = float(total)
+            if np.isnan(total):
+                if training:
+                    raise ValueError("Loss is NaN.")
+                logger.warning("NaN loss in evaluation.")
+            total_sum += total
+            for name, value in loss_values.items():
+                totals[name] = totals.get(name, 0.0) + float(value)
+            counts += 1
+        if counts == 0:
+            return np.nan, {}
+        return total_sum / counts, {k: v / counts
+                                    for k, v in totals.items()}
+
+    def inference(self, batch):
+        """Forward without training; returns output dict as numpy
+        (inference :964-993 role)."""
+        if self._eval_step_fn is None:
+            self._eval_step_fn = self._make_eval_step()
+        params = self.ema.shadow if self.ema is not None else self.params
+        data, lengths = self._batch_to_model_input(batch)
+        variables = {"params": params}
+        if self.batch_stats is not None:
+            variables["batch_stats"] = self.batch_stats
+        out = self.model.apply(variables, data, lengths=lengths,
+                               training=False, mutable=False)
+        return {k: np.asarray(v) for k, v in out.items()
+                if not isinstance(v, (list, dict))}
+
+    # -- checkpointing ----------------------------------------------------
+    def save_checkpoint(self, directory, model_name=None, epoch=None,
+                        step=None, best=False, last=False,
+                        best_loss=None, networks_dir="nn"):
+        """Write config.json + params_* (+optimiser/scheduler state)
+        (save_checkpoint :71-123 layout)."""
+        out_dir = os.path.join(directory, model_name or "",
+                               networks_dir)
+        os.makedirs(out_dir, exist_ok=True)
+        if self.model_config is not None:
+            with open(os.path.join(out_dir, "config.json"), "w") as f:
+                f.write(self.model_config.to_json())
+        suffixes = []
+        if epoch is not None:
+            suffixes.append("e{}".format(epoch))
+        if step is not None:
+            suffixes.append("s{}".format(step))
+        if best:
+            suffixes.append("best")
+        if last:
+            suffixes.append("last")
+        params_to_save = self.params
+        if self.ema is not None:
+            params_to_save = self.ema.shadow  # EMA params in checkpoints
+        state = {"params": params_to_save,
+                 "batch_stats": self.batch_stats}
+        for suffix in suffixes:
+            with open(os.path.join(out_dir, "params_" + suffix),
+                      "wb") as f:
+                f.write(flax.serialization.to_bytes(state))
+            if self.opt_state is not None:
+                opt_blob = {
+                    "opt_state": flax.serialization.to_state_dict(
+                        self.opt_state),
+                    "best_loss": best_loss,
+                    "total_steps": self.total_steps,
+                }
+                with open(os.path.join(out_dir, "optimiser_" + suffix),
+                          "wb") as f:
+                    f.write(flax.serialization.msgpack_serialize(
+                        _to_serialisable(opt_blob)))
+            if self.scheduler is not None:
+                with open(os.path.join(out_dir, "scheduler_" + suffix),
+                          "w") as f:
+                    json.dump(_jsonable(self.scheduler.state_dict()), f)
+        return out_dir
+
+    def load_checkpoint(self, directory, model_name=None, epoch=None,
+                        step=None, best=False, last=False,
+                        load_optimiser=True, load_scheduler=True,
+                        ignore_layers=(), layer_map=(),
+                        networks_dir="nn"):
+        """Load params (+opt/scheduler); returns (best_loss, epoch,
+        total_steps) bookkeeping (load_checkpoint :125-262 role)."""
+        out_dir = os.path.join(directory, model_name or "",
+                               networks_dir)
+        if epoch is not None:
+            suffix = "e{}".format(epoch)
+        elif step is not None:
+            suffix = "s{}".format(step)
+        elif best:
+            suffix = "best"
+        elif last:
+            suffix = "last"
+        else:
+            suffix = self._newest_suffix(out_dir)
+        path = os.path.join(out_dir, "params_" + suffix)
+        if self.model is None:
+            config_path = os.path.join(out_dir, "config.json")
+            with open(config_path) as f:
+                self.model_config = ModelConfig.from_json(f.read())
+            self.model = self.model_config.create_model()
+        with open(path, "rb") as f:
+            blob = f.read()
+        template = {"params": self.params,
+                    "batch_stats": self.batch_stats}
+        if self.params is None:
+            state = flax.serialization.msgpack_restore(blob)
+        else:
+            state = flax.serialization.from_bytes(template, blob)
+        new_params = state["params"]
+        if layer_map:
+            new_params = _apply_layer_map(new_params, layer_map)
+        if ignore_layers and self.params is not None:
+            new_params = _merge_ignored(new_params, self.params,
+                                        ignore_layers)
+        self.params = jax.tree_util.tree_map(jnp.asarray, new_params)
+        if state.get("batch_stats") is not None:
+            self.batch_stats = jax.tree_util.tree_map(
+                jnp.asarray, state["batch_stats"])
+        best_loss, total_epoch = None, None
+        opt_path = os.path.join(out_dir, "optimiser_" + suffix)
+        if load_optimiser and os.path.isfile(opt_path) \
+                and self.optimiser is not None:
+            with open(opt_path, "rb") as f:
+                opt_blob = flax.serialization.msgpack_restore(f.read())
+            try:
+                self.opt_state = flax.serialization.from_state_dict(
+                    self.optimiser.init(self.params),
+                    opt_blob["opt_state"])
+            except (KeyError, ValueError) as e:
+                logger.warning("Optimiser state mismatch, reinitialised:"
+                               " %s", e)
+                self.opt_state = self.optimiser.init(self.params)
+            best_loss = opt_blob.get("best_loss")
+            if isinstance(best_loss, np.ndarray):
+                best_loss = float(best_loss)
+            self.total_steps = int(opt_blob.get("total_steps", 0) or 0)
+        sched_path = os.path.join(out_dir, "scheduler_" + suffix)
+        if load_scheduler and os.path.isfile(sched_path) \
+                and self.scheduler is not None:
+            with open(sched_path) as f:
+                try:
+                    self.scheduler.load_state_dict(json.load(f))
+                except Exception as e:  # tolerated with warning
+                    logger.warning("Scheduler state mismatch: %s", e)
+        match = re.match(r"e(\d+)", suffix)
+        if match:
+            total_epoch = int(match.group(1))
+        self._train_step_fn = None
+        self._eval_step_fn = None
+        return best_loss, total_epoch, self.total_steps
+
+    @staticmethod
+    def _newest_suffix(out_dir):
+        candidates = glob.glob(os.path.join(out_dir, "params_*"))
+        if not candidates:
+            raise FileNotFoundError("No checkpoint in " + out_dir)
+        newest = max(candidates, key=os.path.getctime)
+        return os.path.basename(newest)[len("params_"):]
+
+
+def _flatten_intermediates(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for key, value in tree.items():
+            out.update(_flatten_intermediates(value, key))
+    elif isinstance(tree, (tuple, list)):
+        if len(tree) > 0:
+            out[prefix] = tree[0]
+    else:
+        out[prefix] = tree
+    return out
+
+
+def _set_lr(opt_state, opt_index, lr):
+    inner = opt_state[opt_index]
+    if hasattr(inner, "hyperparams"):
+        new_hp = dict(inner.hyperparams)
+        new_hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        inner = inner._replace(hyperparams=new_hp)
+        opt_state = opt_state[:opt_index] + (inner,) \
+            + opt_state[opt_index + 1:]
+    return opt_state
+
+
+def _apply_layer_map(params, layer_map):
+    """Regex rename of parameter paths (load_checkpoint :264-283)."""
+    flat = flax.traverse_util.flatten_dict(params, sep="/")
+    renamed = {}
+    for path, value in flat.items():
+        new_path = path
+        for pattern, replacement in layer_map:
+            new_path = re.sub(pattern, replacement, new_path)
+        renamed[new_path] = value
+    return flax.traverse_util.unflatten_dict(renamed, sep="/")
+
+
+def _merge_ignored(new_params, current_params, ignore_layers):
+    """Keep current values for parameters matching ignore patterns
+    (load_checkpoint :285-309)."""
+    flat_new = flax.traverse_util.flatten_dict(new_params, sep="/")
+    flat_cur = flax.traverse_util.flatten_dict(current_params, sep="/")
+    merged = {}
+    for path in flat_cur:
+        ignored = any(re.search(pattern, path)
+                      for pattern in ignore_layers)
+        if ignored or path not in flat_new:
+            merged[path] = flat_cur[path]
+        else:
+            merged[path] = flat_new[path]
+    return flax.traverse_util.unflatten_dict(merged, sep="/")
+
+
+def _to_serialisable(tree):
+    return jax.tree_util.tree_map(
+        lambda x: np.asarray(x) if isinstance(x, jnp.ndarray) else x,
+        tree)
+
+
+def _jsonable(d):
+    out = {}
+    for key, value in d.items():
+        if isinstance(value, (np.floating, np.integer)):
+            value = value.item()
+        if isinstance(value, (int, float, str, bool, type(None), list)):
+            out[key] = value
+        elif isinstance(value, float) or value == np.inf:
+            out[key] = float(value)
+    return out

@@ -1,0 +1,375 @@
+"""ModularTrainer: the experiment lifecycle front door.
+
+Capability parity with ``model_trainers/ModularTrainer.py`` (:39-1119):
+id-list splitting (:95-117), datareader/dataset setup (:258-297),
+init/checkpoint policy (:187-251), train loop with best-model tracking
+(:379-517), ``forward``/``synth``/``gen_figure``/``benchmark`` batched
+inference front doors (:617-791), ``_forward_batched`` (:814-887),
+vocoder dispatch ``gen_waveform`` (:1014-1085) and ``copy_synth``
+(:1093-1119).
+"""
+
+import logging
+import math
+import os
+import random
+import time
+
+import numpy as np
+
+from idiaptts_tpu.data.dataset import (DatareadersDataset, batch_decollate,
+                                       collate_batch)
+from idiaptts_tpu.hparams import ExtendedHParams
+from idiaptts_tpu.train.handler import ModularModelHandler
+
+logger = logging.getLogger(__name__)
+
+
+class ModularTrainer:
+    """Generic trainer around one model handler."""
+
+    def __init__(self, hparams, id_list=None, data_reader_configs=None):
+        self.hparams = hparams
+        seed = hparams.get("seed")
+        if seed is not None:
+            random.seed(seed)
+            np.random.seed(seed)
+        self.model_handler = ModularModelHandler()
+        self.data_reader_configs = data_reader_configs
+        self.datareaders = {}
+        self.dataset_train = None
+        self.dataset_val = None
+        self.dataset_test = None
+        self.loss_configs = []
+        self.total_epoch = 0
+        self.best_loss = np.inf
+        self.logger = logger
+        if id_list is not None:
+            self._setup_id_lists(id_list, hparams)
+        else:
+            self.id_list_train = self.id_list_val = self.id_list_test = []
+
+    # -- id lists ---------------------------------------------------------
+    def _setup_id_lists(self, id_list, hparams):
+        """Split into train/val/test by percentage or accept explicit
+        dict splits (ModularTrainer.py:95-117 role)."""
+        if isinstance(id_list, dict):
+            self.id_list_train = list(id_list.get("train", []))
+            self.id_list_val = list(id_list.get("val", []))
+            self.id_list_test = list(id_list.get("test", []))
+            return
+        id_list = [str(i).strip() for i in id_list if str(i).strip()]
+        if hparams.get("seed") is not None:
+            rng = random.Random(hparams.seed)
+            id_list = sorted(id_list)
+            rng.shuffle(id_list)
+        num = len(id_list)
+        num_test = int(num * hparams.get("test_set_perc", 0.05))
+        num_val = int(num * hparams.get("val_set_perc", 0.05))
+        self.id_list_test = id_list[:num_test]
+        self.id_list_val = id_list[num_test:num_test + num_val]
+        self.id_list_train = id_list[num_test + num_val:]
+
+    # -- init -------------------------------------------------------------
+    def init(self, hparams, model_config=None, loss_configs=None,
+             data_reader_configs=None):
+        if data_reader_configs is not None:
+            self.data_reader_configs = data_reader_configs
+        self._setup_datareaders(hparams)
+        self._setup_datasets(hparams)
+        self.loss_configs = loss_configs or []
+
+        # Model: load checkpoint or create fresh (:187-251 policy).
+        checkpoint_dir = self._model_dir(hparams)
+        loaded = False
+        if hparams.get("load_from_checkpoint") \
+                or hparams.get("load_newest_checkpoint"):
+            try:
+                best_loss, epoch, _ = self.model_handler.load_checkpoint(
+                    hparams.out_dir, hparams.model_name,
+                    epoch=hparams.get("epoch_to_load"),
+                    step=hparams.get("step_to_load"),
+                    load_optimiser=False, load_scheduler=False,
+                    ignore_layers=hparams.get("ignore_layers", []),
+                    layer_map=hparams.get("layer_map", []),
+                    networks_dir=hparams.get("networks_dir", "nn"))
+                if best_loss is not None:
+                    self.best_loss = best_loss
+                if epoch is not None:
+                    self.total_epoch = epoch
+                loaded = True
+            except FileNotFoundError:
+                if hparams.get("load_from_checkpoint"):
+                    raise
+        if not loaded:
+            if model_config is None:
+                raise ValueError("model_config required for a new model")
+            example = self._example_batch(hparams)
+            self.model_handler.create_model(model_config, hparams,
+                                            example_batch=example)
+        if hparams.get("use_gpu") or hparams.get("num_devices", 1) > 1:
+            self.model_handler.setup_mesh(hparams.get("num_devices"))
+        self.model_handler.set_optimiser(hparams)
+        self.model_handler.set_scheduler(hparams)
+        self.model_handler.set_losses(self.loss_configs)
+        self.model_handler.set_ema(hparams)
+        if loaded and (hparams.get("load_optimiser")
+                       or hparams.get("load_scheduler")):
+            try:
+                self.model_handler.load_checkpoint(
+                    hparams.out_dir, hparams.model_name,
+                    epoch=hparams.get("epoch_to_load"),
+                    step=hparams.get("step_to_load"),
+                    load_optimiser=hparams.get("load_optimiser", True),
+                    load_scheduler=hparams.get("load_scheduler", True),
+                    networks_dir=hparams.get("networks_dir", "nn"))
+            except FileNotFoundError:
+                pass
+        return self
+
+    def _model_dir(self, hparams):
+        if hparams.get("out_dir") and hparams.get("model_name"):
+            return os.path.join(hparams.out_dir, hparams.model_name,
+                                hparams.get("networks_dir", "nn"))
+        return None
+
+    def _setup_datareaders(self, hparams):
+        self.datareaders = {}
+        for config in (self.data_reader_configs or []):
+            reader = config.create_reader()
+            self.datareaders[reader.name] = reader
+
+    def _setup_datasets(self, hparams):
+        readers = list(self.datareaders.values())
+        if not readers:
+            return
+        self.dataset_train = DatareadersDataset(self.id_list_train,
+                                                readers)
+        self.dataset_val = DatareadersDataset(self.id_list_val, readers,
+                                              random_select=False)
+        self.dataset_test = DatareadersDataset(self.id_list_test, readers,
+                                               random_select=False)
+
+    def _example_batch(self, hparams, id_list=None):
+        ids = id_list or (self.id_list_train or self.id_list_val
+                          or self.id_list_test)
+        sample, _ = self.dataset_train.get_id_name(ids[0]) \
+            if self.dataset_train else (None, None)
+        return collate_batch([sample])
+
+    # -- batching ---------------------------------------------------------
+    def _batches(self, dataset, id_list, batch_size, shuffle=False,
+                 seed=0):
+        ids = list(id_list)
+        if shuffle:
+            random.Random(seed).shuffle(ids)
+        for start in range(0, len(ids), batch_size):
+            chunk = ids[start:start + batch_size]
+            samples = [dataset.get_id_name(i)[0] for i in chunk]
+            yield collate_batch(samples)
+
+    # -- training ---------------------------------------------------------
+    def train(self, hparams):
+        """Epoch loop with validation, best-model checkpointing and
+        final-model policy (:379-517 role)."""
+        hparams.verify()
+        t_start = time.time()
+        batch_size = hparams.get("batch_size_train", 1)
+        epochs = hparams.get("epochs", 0)
+        all_loss = []
+        all_loss_train = []
+
+        if hparams.get("start_with_test") or epochs == 0:
+            loss, _ = self.model_handler.process_batches(
+                self._batches(self.dataset_val or self.dataset_train,
+                              self.id_list_val or self.id_list_train,
+                              hparams.get("batch_size_val", batch_size)),
+                training=False)
+            logger.info("Pre-training validation loss: %f", loss)
+            all_loss.append(loss)
+            if loss < self.best_loss and not math.isnan(loss):
+                self.best_loss = loss
+                self._save(hparams, best=True)
+
+        for epoch in range(1, epochs + 1):
+            self.total_epoch += 1
+            epoch_seed = (hparams.get("seed") or 0) + self.total_epoch
+            train_loss, per_loss = self.model_handler.process_batches(
+                self._batches(self.dataset_train, self.id_list_train,
+                              batch_size, shuffle=True, seed=epoch_seed),
+                training=True, current_epoch=self.total_epoch)
+            all_loss_train.append(train_loss)
+            logger.info("Epoch %d train loss: %f", self.total_epoch,
+                        train_loss)
+            if math.isnan(train_loss):
+                logger.error("Train loss is NaN, stopping.")
+                break
+            if self.model_handler.scheduler is not None:
+                self.model_handler.scheduler.on_epoch(self.total_epoch)
+
+            if hparams.get("epochs_per_test", 1) > 0 and \
+                    self.total_epoch % hparams.get("epochs_per_test",
+                                                   1) == 0:
+                val_loss, _ = self.model_handler.process_batches(
+                    self._batches(
+                        self.dataset_val or self.dataset_train,
+                        self.id_list_val or self.id_list_train,
+                        hparams.get("batch_size_val", batch_size)),
+                    training=False)
+                all_loss.append(val_loss)
+                logger.info("Epoch %d validation loss: %f",
+                            self.total_epoch, val_loss)
+                if self.model_handler.scheduler is not None:
+                    self.model_handler.scheduler.on_metric(val_loss)
+                if val_loss < self.best_loss and not math.isnan(val_loss):
+                    self.best_loss = val_loss
+                    self._save(hparams, best=True)
+            if hparams.get("checkpoint_epoch_interval") and \
+                    self.total_epoch % hparams.checkpoint_epoch_interval \
+                    == 0 and hparams.get("out_dir"):
+                self._save(hparams, epoch=self.total_epoch)
+
+        if hparams.get("use_best_as_final_model") and epochs > 0 \
+                and hparams.get("out_dir"):
+            try:
+                best_loss, _, _ = self.model_handler.load_checkpoint(
+                    hparams.out_dir, hparams.model_name, best=True,
+                    load_optimiser=False, load_scheduler=False,
+                    networks_dir=hparams.get("networks_dir", "nn"))
+                logger.info("Reloaded best model (loss %s)",
+                            self.best_loss)
+            except FileNotFoundError:
+                pass
+        if hparams.get("save_final_model") and hparams.get("out_dir"):
+            self._save(hparams, last=True)
+        logger.info("Training took %.1f s", time.time() - t_start)
+        return all_loss, all_loss_train
+
+    def _save(self, hparams, epoch=None, best=False, last=False):
+        if not hparams.get("out_dir"):
+            return
+        self.model_handler.save_checkpoint(
+            hparams.out_dir, hparams.model_name, epoch=epoch, best=best,
+            last=last, best_loss=self.best_loss,
+            networks_dir=hparams.get("networks_dir", "nn"))
+
+    # -- evaluation front doors -------------------------------------------
+    def test(self, hparams, id_list=None):
+        ids = id_list or self.id_list_test
+        loss, per_loss = self.model_handler.process_batches(
+            self._batches(self.dataset_test or self.dataset_train, ids,
+                          hparams.get("batch_size_test", 48)),
+            training=False)
+        logger.info("Test loss: %f", loss)
+        return loss
+
+    def forward(self, hparams, id_list):
+        """Batched inference -> {id: output dict} with post-processing
+        (:617-686 role)."""
+        return self._forward_batched(
+            hparams, id_list, hparams.get("batch_size_val", 48))
+
+    def _forward_batched(self, hparams, id_list, batch_size,
+                         post_process=True):
+        dataset = self.dataset_train or DatareadersDataset(
+            id_list, list(self.datareaders.values()))
+        results = {}
+        for start in range(0, len(id_list), batch_size):
+            chunk = list(id_list)[start:start + batch_size]
+            samples = [dataset.get_id_name(i)[0] for i in chunk]
+            batch = collate_batch(samples)
+            out = self.model_handler.inference(batch)
+            merged = dict(batch)
+            merged.update({k: v for k, v in out.items()
+                           if isinstance(v, np.ndarray)})
+            # Use input lengths for output trimming.
+            first_len_key = next(iter(batch["_lengths"]))
+            lengths = {k: batch["_lengths"].get(
+                k, batch["_lengths"][first_len_key])
+                for k in merged if not k.startswith("_")}
+            decollated = batch_decollate(merged, lengths=lengths)
+            for id_name, sample in zip(chunk, decollated):
+                if post_process:
+                    sample = self._postprocess_sample(sample)
+                results[id_name] = sample
+        return results
+
+    def _postprocess_sample(self, sample):
+        """Map output names through reader postprocessing
+        (post_processing_mapping role)."""
+        mapping = getattr(self, "post_processing_mapping", None)
+        if not mapping:
+            return sample
+        out = dict(sample)
+        for output_name, reader_name in mapping.items():
+            if output_name in out and reader_name in self.datareaders:
+                out[output_name] = self.datareaders[
+                    reader_name].postprocess_sample(out[output_name])
+        return out
+
+    def synth(self, hparams, id_list):
+        """Predict features and synthesise waveforms (:644-676 role)."""
+        results = self._forward_batched(
+            hparams, id_list, hparams.get("batch_size_synth", 12))
+        return self.gen_waveform(hparams, results)
+
+    def copy_synth(self, hparams, id_list):
+        """Synthesise from original (ground-truth) features
+        (:1093-1119 role)."""
+        results = {}
+        for id_name in id_list:
+            sample, _ = (self.dataset_train or DatareadersDataset(
+                id_list, list(self.datareaders.values()))
+            ).get_id_name(id_name)
+            results[id_name] = self._postprocess_sample(
+                {k: v for k, v in sample.items()})
+        return self.gen_waveform(hparams, results)
+
+    def gen_waveform(self, hparams, results):
+        """Vocoder dispatch — overridden by task trainers
+        (:1014-1085 role)."""
+        raise NotImplementedError(
+            "gen_waveform must be implemented by the task trainer.")
+
+    def benchmark(self, hparams, id_list=None):
+        ids = id_list or self.id_list_test
+        results = self._forward_batched(
+            hparams, ids, hparams.get("batch_size_benchmark", 48))
+        return self.compute_score(hparams, results)
+
+    def compute_score(self, hparams, results):
+        raise NotImplementedError(
+            "compute_score must be implemented by the task trainer.")
+
+    def gen_figure(self, hparams, id_list):
+        """Figure generation via DataPlotter (:889-937 role)."""
+        results = self._forward_batched(
+            hparams, id_list, hparams.get("batch_size_gen_figure", 48))
+        paths = []
+        for id_name, sample in results.items():
+            paths.append(self.gen_figure_from_output(
+                id_name, sample, hparams))
+        return paths
+
+    def gen_figure_from_output(self, id_name, sample, hparams):
+        from idiaptts_tpu.utils.plotter import DataPlotter
+        out_dir = hparams.get("synth_dir") or hparams.get("out_dir") \
+            or "."
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, "{}{}".format(
+            id_name, hparams.get("gen_figure_ext", ".pdf")))
+        plotter = DataPlotter()
+        grid = 0
+        for key, value in sample.items():
+            if isinstance(value, np.ndarray) and value.ndim == 2:
+                plotter.set_data_list(grid_idx=grid,
+                                      data_list=[(value[:, 0], key)])
+                grid += 1
+        if grid:
+            plotter.gen_plot()
+            plotter.save_to_file(path)
+        return path
+
+    @staticmethod
+    def create_hparams(hparams_string=None, verbose=False):
+        return ExtendedHParams.create_hparams(hparams_string, verbose)

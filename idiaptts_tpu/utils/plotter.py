@@ -1,0 +1,116 @@
+"""DataPlotter: multi-grid matplotlib figures.
+
+Capability parity with ``idiaptts/src/DataPlotter.py`` (:41-544):
+grid-indexed data lists (curves), specshow-style images, area
+highlighting, annotations, linked x-axes, context-manager usage and
+``save_to_file``.
+"""
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+class DataPlotter:
+
+    class Config:
+        def __init__(self, plot_per_sec=None, f_get_emb_index=None,
+                     **kwargs):
+            self.plot_per_sec = plot_per_sec
+            self.kwargs = kwargs
+
+    def __init__(self):
+        self.data_lists = {}
+        self.image_data = {}
+        self.areas = {}
+        self.annotations = {}
+        self.labels = {}
+        self.num_colors = 10
+        self.fig = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *args):
+        self.close()
+
+    # -- configuration ----------------------------------------------------
+    def set_data_list(self, grid_idx, data_list):
+        """data_list: [(ydata, label[, xdata])] curves for one grid."""
+        self.data_lists[grid_idx] = data_list
+
+    def set_spec_data(self, grid_idx, spec, label=None):
+        """(T, bins) spectrogram-style image."""
+        self.image_data[grid_idx] = (np.asarray(spec), label)
+
+    def set_area_list(self, grid_idx, area_list):
+        """area_list: [(mask, color, alpha, label)]."""
+        self.areas[grid_idx] = area_list
+
+    def set_annotations(self, grid_idx, annotations):
+        """annotations: [(x, y, text)]."""
+        self.annotations[grid_idx] = annotations
+
+    def set_label(self, grid_idx, xlabel=None, ylabel=None, title=None):
+        self.labels[grid_idx] = (xlabel, ylabel, title)
+
+    # -- rendering --------------------------------------------------------
+    def gen_plot(self, sharex=True, figsize=None):
+        grids = sorted(set(list(self.data_lists) + list(self.image_data)))
+        if not grids:
+            raise ValueError("No data set.")
+        n = len(grids)
+        self.fig, axes = plt.subplots(
+            n, 1, sharex=sharex, squeeze=False,
+            figsize=figsize or (10, 2.5 * n))
+        for ax, grid_idx in zip(axes[:, 0], grids):
+            if grid_idx in self.image_data:
+                spec, label = self.image_data[grid_idx]
+                ax.imshow(spec.T, aspect="auto", origin="lower",
+                          interpolation="none")
+                if label:
+                    ax.set_title(label)
+            for entry in self.data_lists.get(grid_idx, []):
+                ydata, label = entry[0], entry[1] if len(entry) > 1 \
+                    else None
+                xdata = entry[2] if len(entry) > 2 else \
+                    np.arange(len(ydata))
+                ax.plot(xdata, ydata, label=label, linewidth=0.8)
+            for mask, color, alpha, label in self.areas.get(grid_idx,
+                                                            []):
+                ax.fill_between(np.arange(len(mask)), 0, 1,
+                                where=np.asarray(mask) > 0,
+                                color=color, alpha=alpha,
+                                transform=ax.get_xaxis_transform(),
+                                label=label)
+            for x, y, text in self.annotations.get(grid_idx, []):
+                ax.annotate(text, (x, y))
+            xlabel, ylabel, title = self.labels.get(grid_idx,
+                                                    (None, None, None))
+            if xlabel:
+                ax.set_xlabel(xlabel)
+            if ylabel:
+                ax.set_ylabel(ylabel)
+            if title:
+                ax.set_title(title)
+            if self.data_lists.get(grid_idx):
+                ax.legend(loc="upper right", fontsize="x-small")
+        self.fig.tight_layout()
+        return self.fig
+
+    def save_to_file(self, file_path):
+        if self.fig is None:
+            self.gen_plot()
+        self.fig.savefig(file_path)
+        return file_path
+
+    def show(self):
+        if self.fig is not None:
+            self.fig.show()
+
+    def close(self):
+        if self.fig is not None:
+            plt.close(self.fig)
+            self.fig = None

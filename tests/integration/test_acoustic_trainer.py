@@ -1,0 +1,100 @@
+"""End-to-end acoustic model pipeline on the reference fixtures:
+frame-level questions -> biLSTM -> WORLD cmp features -> MLPG -> WORLD
+synthesis.  Mirrors test_AcousticModelTrainer.py:66-170: init / train
+with decreasing loss / benchmark (MCD, F0-RMSE, VDE, BAP) / synth with
+waveform assertions."""
+
+import os
+
+import numpy as np
+import pytest
+
+from idiaptts_tpu.train.acoustic import AcousticModelTrainer
+
+ID_LIST = ["LJ001-000{}".format(i) for i in range(1, 10)]
+
+
+@pytest.fixture(scope="module")
+def trainer_and_hparams(fixtures_dir, tmp_path_factory):
+    out_dir = str(tmp_path_factory.mktemp("acoustic_exp"))
+    hparams = AcousticModelTrainer.create_hparams()
+    hparams.num_questions = 409
+    hparams.num_coded_sps = 20
+    hparams.out_dir = out_dir
+    hparams.model_name = "test_acoustic"
+    hparams.epochs = 3
+    hparams.batch_size_train = 2
+    hparams.batch_size_val = 9
+    hparams.batch_size_benchmark = 9
+    hparams.batch_size_synth = 2
+    hparams.learning_rate = 0.001
+    hparams.seed = 1
+    hparams.use_best_as_final_model = True
+    hparams.test_set_perc = 0.0
+    hparams.val_set_perc = 0.25
+    hparams.synth_fs = 16000
+
+    # Small model for test speed.
+    trainer = AcousticModelTrainer(
+        hparams, ID_LIST,
+        dir_question_labels=os.path.join(fixtures_dir, "questions"),
+        dir_world_features=os.path.join(fixtures_dir, "WORLD"))
+    from idiaptts_tpu.models.rnn_dyn import convert_legacy_string
+    cfg = convert_legacy_string("RNNDYN-1_RELU_64-1_BiLSTM_32-1_FC_67",
+                                409)
+    cfg.input_names = ("questions",)
+    cfg.output_names = ("pred_acoustic_features",)
+    trainer.init(hparams, model_config=cfg)
+    return trainer, hparams
+
+
+def test_train_loss_decreases(trainer_and_hparams):
+    trainer, hparams = trainer_and_hparams
+    all_loss, all_loss_train = trainer.train(hparams)
+    assert all_loss_train[-1] < all_loss_train[0]
+
+
+def test_benchmark(trainer_and_hparams):
+    trainer, hparams = trainer_and_hparams
+    mcd, f0_rmse, vde, bap = trainer.benchmark(
+        hparams, trainer.id_list_train[:3])
+    # Undertrained tiny model: loose sanity ranges.
+    assert 0 < mcd < 30
+    assert 0 < f0_rmse < 200
+    assert 0 <= vde <= 1
+    assert 0 < bap < 40
+
+
+def test_synth_writes_waveforms(trainer_and_hparams, tmp_path):
+    trainer, hparams = trainer_and_hparams
+    hparams.synth_dir = str(tmp_path / "synth")
+    paths = trainer.synth(hparams, trainer.id_list_train[:1])
+    for id_name, path in paths.items():
+        assert os.path.isfile(path)
+        from idiaptts_tpu.ops.audio_io import get_raw
+        raw, fs = get_raw(path)
+        assert fs == 16000
+        assert len(raw) > fs / 2          # at least half a second
+        assert 0.001 < np.abs(raw).max() <= 1.0
+
+
+def test_copy_synth(trainer_and_hparams, tmp_path):
+    """Synthesis from original features must produce a loud, speechy
+    waveform (copy_synth :1093-1119; waveform assertions like
+    test_ModularTrainer.py:940-1037)."""
+    trainer, hparams = trainer_and_hparams
+    hparams.synth_dir = str(tmp_path / "copy_synth")
+    paths = trainer.copy_synth(hparams, trainer.id_list_train[:1])
+    from idiaptts_tpu.ops.audio_io import get_raw
+    for id_name, path in paths.items():
+        raw, fs = get_raw(path)
+        assert len(raw) > fs  # > 1 s
+        rms = np.sqrt((raw ** 2).mean())
+        assert rms > 0.01
+
+
+def test_gen_figure(trainer_and_hparams, tmp_path):
+    trainer, hparams = trainer_and_hparams
+    hparams.synth_dir = str(tmp_path / "figs")
+    paths = trainer.gen_figure(hparams, trainer.id_list_train[:1])
+    assert all(os.path.isfile(p) for p in paths)

@@ -1,0 +1,121 @@
+"""End-to-end duration model pipeline on the reference fixtures:
+questions (phone level) -> FFN -> 5-state durations.  Mirrors the
+reference's (disabled) test_DurationModelTrainer.py strategy: init,
+train a few epochs with decreasing loss, benchmark, forward."""
+
+import os
+
+import numpy as np
+import pytest
+
+from idiaptts_tpu.data.phonemes import PhonemeDurationLabelGen
+from idiaptts_tpu.data.questions import QuestionLabelGen
+from idiaptts_tpu.train.duration import DurationModelTrainer
+
+ID_LIST = ["LJ001-000{}".format(i) for i in range(1, 10)]
+
+
+@pytest.fixture(scope="module")
+def prepared_dirs(fixtures_dir, tmp_path_factory):
+    """Phone-level questions + durations extracted from fixtures."""
+    base = tmp_path_factory.mktemp("dur_data")
+    dir_questions = str(base / "questions")
+    dir_dur = os.path.join(fixtures_dir, "dur")
+    # Phone-level questions: one row per phone = frame questions
+    # collapsed. Generate frame questions, then take the first frame of
+    # each phone via durations.
+    label_dir = os.path.join(fixtures_dir, "labels", "label_state_align")
+    q_file = os.path.join(fixtures_dir, "questions-en-radio_dnn_400.hed")
+    label_dict, vmin, vmax = QuestionLabelGen.gen_data(
+        label_dir, q_file, dir_out=None, id_list=ID_LIST,
+        return_dict=True)
+    os.makedirs(dir_questions, exist_ok=True)
+    from idiaptts_tpu.data.normalisation import MinMaxExtractor
+    extractor = MinMaxExtractor()
+    for id_name, frames in label_dict.items():
+        dur = PhonemeDurationLabelGen.load_sample(id_name, dir_dur)
+        frame_idx = np.cumsum(dur.sum(axis=1).astype(np.int64)) \
+            - dur.sum(axis=1).astype(np.int64)
+        frame_idx = np.minimum(frame_idx, len(frames) - 1)
+        phone_level = frames[frame_idx]
+        extractor.add_sample(phone_level)
+        phone_level.astype(np.float32).tofile(
+            os.path.join(dir_questions, id_name + ".questions"))
+    extractor.save(os.path.join(dir_questions, "all"))
+    return dir_questions, dir_dur
+
+
+def test_duration_pipeline(prepared_dirs, tmp_path):
+    dir_questions, dir_dur = prepared_dirs
+    hparams = DurationModelTrainer.create_hparams()
+    hparams.num_questions = 409
+    hparams.out_dir = str(tmp_path / "exp")
+    hparams.model_name = "test_dur"
+    hparams.epochs = 3
+    hparams.batch_size_train = 4
+    hparams.batch_size_val = 9
+    hparams.learning_rate = 0.002
+    hparams.seed = 1
+    hparams.use_best_as_final_model = False
+    hparams.test_set_perc = 0.0
+    hparams.val_set_perc = 0.34
+
+    trainer = DurationModelTrainer(hparams, ID_LIST,
+                                   dir_phoneme_labels=dir_questions,
+                                   dir_durations=dir_dur)
+    trainer.init(hparams)
+    all_loss, all_loss_train = trainer.train(hparams)
+    assert len(all_loss_train) == 3
+    assert all_loss_train[-1] < all_loss_train[0], all_loss_train
+
+    # Benchmark produces Dur-RMSE and Pearson.
+    rmse, pearson = trainer.benchmark(hparams,
+                                      trainer.id_list_train[:3])
+    assert 0 < rmse < 80
+    assert pearson.shape == (5,)
+
+    # Forward returns rounded non-negative integer durations.
+    out = trainer.forward(hparams, trainer.id_list_train[:2])
+    for id_name, dur in out.items():
+        assert dur.dtype == np.int64
+        assert np.all(dur >= 0)
+        ref = PhonemeDurationLabelGen.load_sample(id_name, dir_dur)
+        assert dur.shape == ref.shape
+
+    # Checkpoints were written.
+    nn_dir = os.path.join(hparams.out_dir, "test_dur", "nn")
+    assert os.path.isfile(os.path.join(nn_dir, "config.json"))
+    assert os.path.isfile(os.path.join(nn_dir, "params_last"))
+
+
+def test_duration_resume_checkpoint(prepared_dirs, tmp_path):
+    dir_questions, dir_dur = prepared_dirs
+    hparams = DurationModelTrainer.create_hparams()
+    hparams.num_questions = 409
+    hparams.out_dir = str(tmp_path / "exp")
+    hparams.model_name = "resume_dur"
+    hparams.epochs = 1
+    hparams.batch_size_train = 4
+    hparams.learning_rate = 0.001
+    hparams.seed = 1
+    hparams.test_set_perc = 0.0
+    hparams.val_set_perc = 0.2
+    hparams.use_best_as_final_model = False
+
+    trainer = DurationModelTrainer(hparams, ID_LIST,
+                                   dir_phoneme_labels=dir_questions,
+                                   dir_durations=dir_dur)
+    trainer.init(hparams)
+    trainer.train(hparams)
+    steps_first = trainer.model_handler.total_steps
+    assert steps_first > 0
+
+    # Resume from the written checkpoint into a new trainer.
+    hparams.load_newest_checkpoint = True
+    trainer2 = DurationModelTrainer(hparams, ID_LIST,
+                                    dir_phoneme_labels=dir_questions,
+                                    dir_durations=dir_dur)
+    trainer2.init(hparams)
+    assert trainer2.model_handler.params is not None
+    trainer2.train(hparams)
+    assert trainer2.model_handler.total_steps > 0

@@ -1,0 +1,172 @@
+"""Dataset layer tests: mirrors the reference's
+unit/test_PyTorchDatareadersDataset.py strategy (mocked readers for
+match_length cycles and 2-D matching) plus bucketed collate checks."""
+
+import numpy as np
+import pytest
+
+from idiaptts_tpu.data.dataset import (DatareadersDataset,
+                                       WindowingDatareadersDataset,
+                                       batch_decollate, bucket_length,
+                                       collate_batch)
+from idiaptts_tpu.data.phonemes import PhonemeDurationLabelGen
+from idiaptts_tpu.data.reader import DataReader
+
+
+class MockReader(DataReader):
+    def __init__(self, name, data, match_length=None, max_frames=None,
+                 random_select=True):
+        super().__init__(DataReader.Config(
+            name, match_length=match_length, max_frames=max_frames,
+            random_select=random_select))
+        self.data = data
+
+    def load(self, id_name):
+        return np.copy(self.data[id_name])
+
+
+def test_merge_and_duplicate_detection():
+    r1 = MockReader("a", {"u1": np.ones((10, 2))})
+    r2 = MockReader("a", {"u1": np.ones((10, 2))})
+    ds = DatareadersDataset(["u1"], [r1, r2])
+    with pytest.raises(KeyError):
+        ds[0]
+
+
+def test_match_length_trims_to_reference():
+    r1 = MockReader("feat", {"u1": np.arange(12)[:, None].astype(float)},
+                    match_length="ref")
+    r2 = MockReader("ref", {"u1": np.zeros((10, 1))})
+    ds = DatareadersDataset(["u1"], [r1, r2])
+    out, _ = ds[0]
+    assert len(out["feat"]) == 10
+    # Trim removes diff//2 from the front, rest from the end.
+    assert out["feat"][0, 0] == 1.0 and out["feat"][-1, 0] == 10.0
+
+
+def test_match_length_cycle():
+    r1 = MockReader("a", {"u1": np.zeros((12, 1))}, match_length="b")
+    r2 = MockReader("b", {"u1": np.zeros((10, 1))}, match_length="a")
+    ds = DatareadersDataset(["u1"], [r1, r2])
+    out, _ = ds[0]
+    assert len(out["a"]) == len(out["b"]) == 10
+
+
+def test_max_frames_crop_propagates():
+    rng = np.random.RandomState(0)
+    r1 = MockReader("x", {"u1": rng.randn(50, 3)}, match_length="y",
+                    max_frames=20, random_select=False)
+    r2 = MockReader("y", {"u1": rng.randn(50, 2)}, match_length="x")
+    ds = DatareadersDataset(["u1"], [r1, r2])
+    out, _ = ds[0]
+    assert len(out["x"]) == 20
+    assert len(out["y"]) == 20
+
+
+def test_windowing_dataset():
+    r = MockReader("feat", {"u1": np.arange(120)[:, None].astype(float)})
+    ds = WindowingDatareadersDataset(["u1"], [r], window_size=50,
+                                     window_step=25)
+    windows = list(ds)
+    assert len(windows) == 4
+    first, _ = windows[0]
+    assert len(first["feat"]) == 50
+    assert first["feat"][0, 0] == 0.0
+    second, _ = windows[1]
+    assert second["feat"][0, 0] == 25.0
+
+
+def test_bucket_length():
+    assert bucket_length(100) == 128
+    assert bucket_length(128) == 128
+    assert bucket_length(129) == 256
+    assert bucket_length(5000) == 8192
+
+
+def test_collate_and_decollate():
+    samples = [
+        {"x": np.ones((100, 4)), "y": np.ones((100, 2)),
+         "_id_list": "u1"},
+        {"x": 2 * np.ones((70, 4)), "y": 2 * np.ones((70, 2)),
+         "_id_list": "u2"},
+    ]
+    batch = collate_batch(samples)
+    assert batch["x"].shape == (2, 128, 4)   # bucketed to 128
+    assert batch["_seq_mask"].shape == (2, 128, 1)
+    assert batch["_seq_mask"][0].sum() == 100
+    assert batch["_seq_mask"][1].sum() == 70
+    assert batch["x"][1, 70:].sum() == 0     # padding zeros
+
+    back = batch_decollate(batch)
+    assert len(back) == 2
+    assert back[1]["x"].shape == (70, 4)
+    np.testing.assert_array_equal(back[1]["x"], samples[1]["x"])
+    assert back[0]["_id_list"] == "u1"
+
+
+def test_collate_time_major():
+    samples = [{"x": np.ones((30, 4))}, {"x": np.ones((50, 4))}]
+    batch = collate_batch(samples, batch_first=False)
+    assert batch["x"].shape == (128, 2, 4)
+
+
+def test_durations_to_hard_attention_matrix():
+    A = PhonemeDurationLabelGen.durations_to_hard_attention_matrix(
+        np.array([3, 0, 1, 2]))
+    expected = np.array([
+        [1, 0, 0, 0], [1, 0, 0, 0], [1, 0, 0, 0],
+        [0, 0, 1, 0], [0, 0, 0, 1], [0, 0, 0, 1]], dtype=np.float32)
+    np.testing.assert_array_equal(A, expected)
+
+
+def test_duration_labelgen_fixtures(fixtures_dir):
+    import os
+    dur = PhonemeDurationLabelGen.load_sample(
+        "LJ001-0001", os.path.join(fixtures_dir, "dur"))
+    assert dur.shape[1] == 5
+    assert np.all(dur >= 0)
+    # Durations from the state-aligned labels should match.
+    dur2 = PhonemeDurationLabelGen.load_sample(
+        "LJ001-0001", os.path.join(fixtures_dir, "labels",
+                                   "label_state_align"))
+    assert dur2.shape == dur.shape
+    np.testing.assert_allclose(dur, dur2, atol=1e-5)
+
+
+def test_phoneme_labelgen_fixtures(fixtures_dir):
+    import os
+    from idiaptts_tpu.data.phonemes import PhonemeLabelGen
+    config = PhonemeLabelGen.Config(
+        name="phonemes",
+        directory=os.path.join(fixtures_dir, "labels", "mono_no_align"),
+        file_symbol_dict=os.path.join(fixtures_dir, "labels",
+                                      "mono_phone.list"),
+        label_type="mono_no_align")
+    reader = config.create_reader()
+    sample = reader["LJ001-0001"]
+    ids = sample["phonemes"]
+    assert ids.ndim == 2 and ids.shape[1] == 1
+    assert ids.min() >= 0
+    # One-hot + EOF variant.
+    config2 = PhonemeLabelGen.Config(
+        name="phonemes",
+        directory=os.path.join(fixtures_dir, "labels", "mono_no_align"),
+        file_symbol_dict=os.path.join(fixtures_dir, "labels",
+                                      "mono_phone.list"),
+        label_type="mono_no_align", one_hot=True, add_EOF=True)
+    reader2 = config2.create_reader()
+    one_hot = reader2["LJ001-0001"]["phonemes"]
+    assert one_hot.shape == (len(ids) + 1, reader2.num_symbols)
+    np.testing.assert_array_equal(one_hot.sum(1), 1.0)
+    # state-align parsing gives the same phoneme count as durations.
+    config3 = PhonemeLabelGen.Config(
+        name="phonemes",
+        directory=os.path.join(fixtures_dir, "labels",
+                               "label_state_align"),
+        file_symbol_dict=os.path.join(fixtures_dir, "labels",
+                                      "mono_phone.list"),
+        label_type="full_state_align")
+    ids3 = config3.create_reader()["LJ001-0001"]["phonemes"]
+    dur = PhonemeDurationLabelGen.load_sample(
+        "LJ001-0001", os.path.join(fixtures_dir, "dur"))
+    assert len(ids3) == len(dur)
