@@ -99,7 +99,11 @@ def _affects(emb_config, group_idx, num_groups):
 
 
 class _MaskedFlipRNN(nn.Module):
-    """Uni/bi-directional recurrent stack with length-aware reverse."""
+    """Uni/bi-directional recurrent stack with length-aware reverse.
+
+    ``dtype=bfloat16`` keeps the matmuls on the MXU fast path
+    (parameters stay float32); ``unroll`` amortises the per-step scan
+    overhead on TPU."""
 
     cell_type: str
     out_dim: int
@@ -107,27 +111,32 @@ class _MaskedFlipRNN(nn.Module):
     bidirectional: bool
     dropout: float
     nonlin: str = None
+    dtype: str = "bfloat16"
+    unroll: int = 8
 
     def _make_cell(self, idx, direction):
+        dtype = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
         if self.cell_type == "LSTM":
-            return nn.OptimizedLSTMCell(self.out_dim,
+            return nn.OptimizedLSTMCell(self.out_dim, dtype=dtype,
                                         name=f"{direction}{idx}")
         if self.cell_type == "GRU":
-            return nn.GRUCell(self.out_dim, name=f"{direction}{idx}")
+            return nn.GRUCell(self.out_dim, dtype=dtype,
+                              name=f"{direction}{idx}")
         if self.cell_type == "RNN":
             act = _NONLINS.get(self.nonlin or "tanh", jnp.tanh)
             return nn.SimpleCell(self.out_dim, activation_fn=act,
-                                 name=f"{direction}{idx}")
+                                 dtype=dtype, name=f"{direction}{idx}")
         raise NotImplementedError(self.cell_type)
 
     @nn.compact
     def __call__(self, x, lengths=None, training=False):
         for layer in range(self.num_layers):
-            fwd = nn.RNN(self._make_cell(layer, "fwd"))
+            fwd = nn.RNN(self._make_cell(layer, "fwd"),
+                         unroll=self.unroll)
             out_f = fwd(x, seq_lengths=lengths)
             if self.bidirectional:
                 bwd = nn.RNN(self._make_cell(layer, "bwd"), reverse=True,
-                             keep_order=True)
+                             keep_order=True, unroll=self.unroll)
                 out_b = bwd(x, seq_lengths=lengths)
                 x = jnp.concatenate([out_f, out_b], axis=-1)
             else:
@@ -197,14 +206,14 @@ class RNNDyn(nn.Module):
                                 x.shape[:-1] + (emb.shape[-1],))],
                             axis=-1)
             x = self._apply_group(g_idx, layer, x, lengths, training)
-        return x
+        return x.astype(jnp.float32) if hasattr(x, "astype") else x
 
     def _apply_group(self, g_idx, layer, x, lengths, training):
         t = layer.layer_type
         name = "g{}_{}".format(g_idx, t)
         if t in ("Linear", "FC", "LIN"):
             for i in range(layer.num_layers):
-                x = nn.Dense(layer.out_dim,
+                x = nn.Dense(layer.out_dim, dtype=jnp.bfloat16,
                              name="{}_{}".format(name, i))(x)
                 if layer.nonlin:
                     x = _NONLINS[layer.nonlin](x)
