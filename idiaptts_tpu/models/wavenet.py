@@ -1,0 +1,241 @@
+"""WaveNet vocoder: dilated causal convolutions with gated residual
+blocks, mu-law categorical or mixture-of-logistics output.
+
+Capability parity with the reference's r9y9 integration
+(``models/WaveNetWrapper.py`` :25-141 — teacher-forced training forward
+vs ``incremental_forward`` generation :110-132) — re-implemented
+natively in JAX instead of wrapping an external package.
+
+TPU-native design: training is fully parallel (dilated convs over the
+whole sequence, MXU matmuls); generation is a ``lax.scan`` over samples
+with per-layer ring-buffer caches carried in the scan state (the
+incremental-decode equivalent), jit-compiled once.
+"""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from idiaptts_tpu.models.config import ModelConfig
+from idiaptts_tpu.ops.mulaw import inv_mulaw_quantize, mulaw_quantize
+
+
+class ResidualBlock(nn.Module):
+    residual_channels: int
+    gate_channels: int
+    skip_channels: int
+    kernel_size: int
+    dilation: int
+
+    @nn.compact
+    def __call__(self, x, cond):
+        # Causal dilated conv: left-pad so output depends on past only.
+        pad = (self.kernel_size - 1) * self.dilation
+        h = jnp.pad(x, ((0, 0), (pad, 0), (0, 0)))
+        h = nn.Conv(self.gate_channels, (self.kernel_size,),
+                    kernel_dilation=(self.dilation,), padding="VALID",
+                    dtype=jnp.bfloat16, name="dilated")(h)
+        if cond is not None:
+            h = h + nn.Dense(self.gate_channels, dtype=jnp.bfloat16,
+                             name="cond")(cond)
+        a, b = jnp.split(h, 2, axis=-1)
+        z = jnp.tanh(a) * jax.nn.sigmoid(b)
+        skip = nn.Dense(self.skip_channels, dtype=jnp.bfloat16,
+                        name="skip")(z)
+        res = nn.Dense(self.residual_channels, dtype=jnp.bfloat16,
+                       name="res")(z)
+        return (x + res) * np.float32(1.0 / np.sqrt(2.0)), skip
+
+
+class WaveNet(nn.Module):
+    """Teacher-forced parallel WaveNet."""
+
+    out_channels: int = 256          # mu-law classes (or 3*K for MoL)
+    residual_channels: int = 64
+    gate_channels: int = 128
+    skip_channels: int = 64
+    num_layers: int = 20
+    num_stacks: int = 2
+    kernel_size: int = 2
+    cond_channels: int = 63
+
+    def dilations(self):
+        per_stack = self.num_layers // self.num_stacks
+        return [2 ** (i % per_stack) for i in range(self.num_layers)]
+
+    @nn.compact
+    def __call__(self, x_quantised, cond=None, lengths=None,
+                 training=False):
+        """x_quantised: (B, T) int mu-law samples (inputs, shifted);
+        cond: (B, T, C) upsampled conditioning.  Returns (B, T, out)."""
+        x = nn.Embed(self.out_channels, self.residual_channels,
+                     name="input_embed")(x_quantised)
+        skips = 0.0
+        for i, dilation in enumerate(self.dilations()):
+            x, skip = ResidualBlock(
+                self.residual_channels, self.gate_channels,
+                self.skip_channels, self.kernel_size, dilation,
+                name="block_{}".format(i))(x, cond)
+            skips = skips + skip
+        h = nn.relu(skips)
+        h = nn.Dense(self.skip_channels, dtype=jnp.bfloat16,
+                     name="post1")(h)
+        h = nn.relu(h)
+        return nn.Dense(self.out_channels, name="post2")(
+            h).astype(jnp.float32)
+
+
+class WaveNetWrapper(nn.Module):
+    """Dict-protocol wrapper (WaveNetWrapper.py role): reads quantised
+    waveform input + conditioning, writes logits."""
+
+    config: "WaveNetWrapper.Config"
+
+    @nn.compact
+    def __call__(self, data_dict, lengths=None, training=False):
+        cfg = self.config
+        cond = jnp.asarray(data_dict[cfg.input_names[0]]) \
+            if cfg.input_names else None
+        target = jnp.asarray(data_dict[cfg.target_name])
+        if target.ndim == 3:
+            target = target[..., 0]
+        quantised = target.astype(jnp.int32)
+        # Teacher forcing: inputs are the previous samples.
+        inputs = jnp.pad(quantised, ((0, 0), (1, 0)),
+                         constant_values=cfg.out_channels // 2)[:, :-1]
+        net = WaveNet(out_channels=cfg.out_channels,
+                      residual_channels=cfg.residual_channels,
+                      gate_channels=cfg.gate_channels,
+                      skip_channels=cfg.skip_channels,
+                      num_layers=cfg.num_layers,
+                      num_stacks=cfg.num_stacks,
+                      kernel_size=cfg.kernel_size,
+                      name="wavenet")
+        logits = net(inputs, cond, lengths, training)
+        out = dict(data_dict)
+        out[cfg.output_names[0]] = logits
+        return out
+
+    class Config(ModelConfig):
+        def __init__(self, target_name="target_quantised",
+                     out_channels=256, residual_channels=64,
+                     gate_channels=128, skip_channels=64, num_layers=20,
+                     num_stacks=2, kernel_size=2, **kwargs):
+            super().__init__(**kwargs)
+            self.target_name = target_name
+            self.out_channels = out_channels
+            self.residual_channels = residual_channels
+            self.gate_channels = gate_channels
+            self.skip_channels = skip_channels
+            self.num_layers = num_layers
+            self.num_stacks = num_stacks
+            self.kernel_size = kernel_size
+
+        def create_model(self):
+            return WaveNetWrapper(config=self)
+
+
+def generate(params, config, cond, rng=None, temperature=1.0):
+    """Autoregressive generation with ring-buffer caches in a scan
+    (the incremental_forward equivalent, jit-compiled once).
+
+    params: wrapper params; cond: (T, C) conditioning at sample rate.
+    Returns (T,) float waveform in [-1, 1].
+    """
+    net = WaveNet(out_channels=config.out_channels,
+                  residual_channels=config.residual_channels,
+                  gate_channels=config.gate_channels,
+                  skip_channels=config.skip_channels,
+                  num_layers=config.num_layers,
+                  num_stacks=config.num_stacks,
+                  kernel_size=config.kernel_size)
+    wrapper_params = params["params"]["wavenet"]
+    dilations = net.dilations()
+    max_dilation = max(dilations)
+    T = cond.shape[0]
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+    # Ring buffers: per layer (max_dilation+1, residual_channels).
+    buffers = [jnp.zeros((dilation + 1, config.residual_channels))
+               for dilation in dilations]
+
+    def apply_embed(x_prev):
+        table = wrapper_params["input_embed"]["embedding"]
+        return table[x_prev]
+
+    def step(carry, t):
+        x_prev, buffers, rng = carry
+        h = apply_embed(x_prev)
+        c_t = cond[t]
+        skips = 0.0
+        new_buffers = []
+        for i, dilation in enumerate(dilations):
+            bp = wrapper_params["block_{}".format(i)]
+            buf = buffers[i]
+            # Current input h enters position t % len; past value at
+            # dilation steps back.
+            past = buf[0]
+            kernel = bp["dilated"]["kernel"]          # (k, in, out)
+            bias = bp["dilated"]["bias"]
+            pre = (past @ kernel[0].astype(jnp.float32)
+                   + h @ kernel[1].astype(jnp.float32) + bias)
+            pre = pre + c_t @ bp["cond"]["kernel"].astype(jnp.float32) \
+                + bp["cond"]["bias"]
+            a, b = jnp.split(pre, 2)
+            z = jnp.tanh(a) * jax.nn.sigmoid(b)
+            skip = z @ bp["skip"]["kernel"].astype(jnp.float32) \
+                + bp["skip"]["bias"]
+            res = z @ bp["res"]["kernel"].astype(jnp.float32) \
+                + bp["res"]["bias"]
+            out_h = (h + res) * np.float32(1.0 / np.sqrt(2.0))
+            # Shift ring buffer, append current h.
+            new_buffers.append(jnp.concatenate(
+                [buf[1:], h[None, :]], axis=0))
+            skips = skips + skip
+            h = out_h
+        hh = nn.relu(skips)
+        hh = hh @ wrapper_params["post1"]["kernel"].astype(jnp.float32) \
+            + wrapper_params["post1"]["bias"]
+        hh = nn.relu(hh)
+        logits = hh @ wrapper_params["post2"]["kernel"] \
+            + wrapper_params["post2"]["bias"]
+        rng, sub = jax.random.split(rng)
+        sample = jax.random.categorical(sub, logits / temperature)
+        return (sample.astype(jnp.int32), new_buffers, rng), sample
+
+    init = (jnp.asarray(config.out_channels // 2, jnp.int32), buffers,
+            rng)
+    _, samples = jax.lax.scan(step, init, jnp.arange(T))
+    return np.asarray(inv_mulaw_quantize(samples,
+                                         config.out_channels - 1))
+
+
+class WaveNetVocoder:
+    """Checkpointed WaveNet usable as a Synthesiser backend
+    (Synthesiser.run_wavenet_vocoder :244-319 role)."""
+
+    def __init__(self, config, variables):
+        self.config = config
+        self.variables = variables
+
+    @classmethod
+    def load(cls, checkpoint_path, hparams=None):
+        import flax
+        import os
+        from idiaptts_tpu.models.config import ModelConfig
+        nn_dir = checkpoint_path
+        with open(os.path.join(nn_dir, "config.json")) as f:
+            config = ModelConfig.from_json(f.read())
+        import glob
+        params_files = glob.glob(os.path.join(nn_dir, "params_*"))
+        newest = max(params_files, key=os.path.getctime)
+        with open(newest, "rb") as f:
+            state = flax.serialization.msgpack_restore(f.read())
+        return cls(config, {"params": state["params"]})
+
+    def generate(self, cond, seed=0):
+        import jax
+        return generate(self.variables, self.config,
+                        jnp.asarray(cond, jnp.float32),
+                        rng=jax.random.PRNGKey(seed))

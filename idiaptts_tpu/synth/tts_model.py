@@ -1,0 +1,157 @@
+"""End-to-end text -> speech pipeline glue.
+
+Capability parity with ``idiaptts/src/TTSModel.py`` (:27-165,
+``run_DM_AM`` :59-165): Festival front end (subprocess) -> duration
+model -> durations written into HTS full labels -> question labels ->
+acoustic model -> WORLD synthesis.
+
+The Festival/speech-tools binaries are an external dependency in the
+reference too (``scripts/tts_frontend/makeLabels.sh``); the subprocess
+interface is kept (``front_end_cmd``) and the pipeline can equally
+start from precomputed HTS full labels (``label_dir``), which is how
+the committed tests exercise it.
+"""
+
+import logging
+import os
+import re
+import subprocess
+
+import numpy as np
+
+from idiaptts_tpu.data.phonemes import PhonemeDurationLabelGen
+from idiaptts_tpu.data.questions import HTSLabelNormalisation
+
+logger = logging.getLogger(__name__)
+
+_FRAME_NS = 50000
+
+
+class TTSModel:
+
+    @staticmethod
+    def run_front_end(hparams, input_strings, out_dir):
+        """Text -> HTS full labels via the configured front-end command
+        (Festival makeLabels.sh in the reference, TTSModel.py:88-98)."""
+        front_end_cmd = hparams.get("front_end_cmd")
+        if not front_end_cmd:
+            raise RuntimeError(
+                "No front_end_cmd configured (Festival front end is an "
+                "external tool); provide precomputed labels via "
+                "label_dir instead.")
+        os.makedirs(out_dir, exist_ok=True)
+        synth_txt = os.path.join(out_dir, "synth.txt")
+        with open(synth_txt, "w") as f:
+            for i, text in enumerate(input_strings):
+                f.write("utt{:03d} {}\n".format(i, text))
+        subprocess.run([front_end_cmd, synth_txt, out_dir], check=True)
+        return [os.path.splitext(p)[0]
+                for p in sorted(os.listdir(out_dir))
+                if p.endswith(".lab")]
+
+    @staticmethod
+    def strip_timings(label_lines):
+        """Remove start/end timings and state suffixes from full-label
+        lines (TTSModel.py:101-112 role)."""
+        stripped = []
+        for line in label_lines:
+            parts = line.split()
+            label = parts[-1]
+            if label.endswith("]"):
+                label = label[:-3]
+            stripped.append(label)
+        # Deduplicate consecutive states of the same phone.
+        out = []
+        for label in stripped:
+            if not out or out[-1] != label:
+                out.append(label)
+        return out
+
+    @staticmethod
+    def write_durations_into_labels(full_labels, durations):
+        """Create state-aligned label lines from per-phone 5-state
+        durations (TTSModel.py:134-147 role)."""
+        lines = []
+        time = 0
+        for phone_idx, label in enumerate(full_labels):
+            for state in range(durations.shape[1]):
+                dur_frames = int(durations[phone_idx, state])
+                start = time
+                end = time + dur_frames * _FRAME_NS
+                lines.append("{} {} {}[{}]".format(start, end, label,
+                                                   state + 2))
+                time = end
+        return lines
+
+    @staticmethod
+    def run_DM_AM(hparams, input_strings=None, label_dir=None,
+                  id_list=None):
+        """Full pipeline: (text | labels) -> durations -> questions ->
+        acoustic model -> wav files (TTSModel.run_DM_AM :59-165).
+
+        Requires in hparams: ``duration_trainer`` and
+        ``acoustic_trainer`` (initialised task trainers),
+        ``question_file``, ``synth_dir``.
+        """
+        work_dir = hparams.get("synth_dir") or os.path.join(
+            hparams.get("out_dir") or ".", "tts")
+        os.makedirs(work_dir, exist_ok=True)
+
+        if label_dir is None:
+            label_dir = os.path.join(work_dir, "labels")
+            id_list = TTSModel.run_front_end(hparams, input_strings,
+                                             label_dir)
+        elif id_list is None:
+            id_list = [os.path.splitext(p)[0]
+                       for p in sorted(os.listdir(label_dir))
+                       if p.endswith(".lab")]
+
+        duration_trainer = hparams.duration_trainer
+        acoustic_trainer = hparams.acoustic_trainer
+        question_file = hparams.question_file
+
+        # 1. Phone-level questions for the duration model.
+        operator = HTSLabelNormalisation(question_file,
+                                         add_frame_features=False,
+                                         subphone_feats="none")
+        dur_question_dir = os.path.join(work_dir, "dur_questions")
+        os.makedirs(dur_question_dir, exist_ok=True)
+        phone_labels = {}
+        for id_name in id_list:
+            with open(os.path.join(label_dir, id_name + ".lab")) as f:
+                lines = [l for l in f if l.strip()]
+            full_labels = TTSModel.strip_timings(lines)
+            phone_labels[id_name] = full_labels
+            questions = np.stack([operator.question_set.match(lab)
+                                  for lab in full_labels])
+            questions.astype(np.float32).tofile(
+                os.path.join(dur_question_dir,
+                             id_name + ".questions"))
+
+        # 2. Predict durations.
+        duration_trainer.datareaders["questions"].directory = \
+            [dur_question_dir]
+        durations = duration_trainer.forward(hparams, id_list)
+
+        # 3. Write predicted durations into state-aligned labels.
+        aligned_dir = os.path.join(work_dir, "label_state_align")
+        os.makedirs(aligned_dir, exist_ok=True)
+        for id_name in id_list:
+            dur = np.maximum(durations[id_name], 1)
+            lines = TTSModel.write_durations_into_labels(
+                phone_labels[id_name], dur)
+            with open(os.path.join(aligned_dir, id_name + ".lab"),
+                      "w") as f:
+                f.write("\n".join(lines) + "\n")
+
+        # 4. Frame-level questions from the new alignment.
+        from idiaptts_tpu.data.questions import QuestionLabelGen
+        am_question_dir = os.path.join(work_dir, "questions")
+        QuestionLabelGen.gen_data(aligned_dir, question_file,
+                                  dir_out=am_question_dir,
+                                  id_list=id_list)
+
+        # 5. Acoustic model -> WORLD synthesis.
+        acoustic_trainer.datareaders["questions"].directory = \
+            [am_question_dir]
+        return acoustic_trainer.synth(hparams, id_list)

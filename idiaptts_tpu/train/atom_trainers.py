@@ -1,0 +1,250 @@
+"""GCR atom intonation trainers — rebuilt on the modular API.
+
+Capability parity with the reference's wcad trainers (which subclass
+the dead legacy ModelTrainer stub in the snapshot; SURVEY.md caveat):
+
+* AtomModelTrainer (``wcad/AtomModelTrainer.py`` :36-401): questions ->
+  atom amplitude spikes per theta; F0 reconstruction benchmark
+  (``compute_score`` :224).
+* AtomVUVDistPosModelTrainer (``AtomVUVDistPosModelTrainer.py``
+  :38-299): adds VUV flag + position-distribution outputs.
+* AtomNeuralFilterModelTrainer (``AtomNeuralFilterModelTrainer.py``
+  :36-463): end-to-end atoms -> LF0 through trainable intonation
+  filters (ICASSP'19); two-phase ``init_atom``/``train_atom``
+  (:162-198).
+* PhraseAtomNeuralFilterModelTrainer
+  (``PhraseAtomNeuralFilterModelTrainer.py`` :37-617): adds the phrase
+  filter trained on flat LF0 targets; ``init_flat``/``train_flat``
+  (:168-213).
+"""
+
+import logging
+import os
+
+import numpy as np
+
+from idiaptts_tpu.data.atoms import AtomLabelGen, AtomVUVDistPosLabelGen
+from idiaptts_tpu.data.questions import QuestionLabelGen
+from idiaptts_tpu.hparams import ExtendedHParams
+from idiaptts_tpu.models.intonation import (NeuralFilters,
+                                            PhraseNeuralFilters)
+from idiaptts_tpu.models.losses import NamedLoss
+from idiaptts_tpu.models.rnn_dyn import convert_legacy_string
+from idiaptts_tpu.synth.metrics import Metrics
+from idiaptts_tpu.train.trainer import ModularTrainer
+
+logger = logging.getLogger(__name__)
+
+
+class AtomModelTrainer(ModularTrainer):
+    """Questions -> atom amplitude spikes (one output per theta)."""
+
+    def __init__(self, hparams, id_list, dir_question_labels=None,
+                 dir_atom_labels=None, dir_world_features=None):
+        super().__init__(hparams, id_list)
+        self.dir_question_labels = dir_question_labels
+        self.dir_atom_labels = dir_atom_labels
+        self.dir_world_features = dir_world_features
+        self.post_processing_mapping = {"pred_atoms": "atoms"}
+
+    @staticmethod
+    def create_hparams(hparams_string=None, verbose=False):
+        hparams = ExtendedHParams.create_hparams(hparams_string, verbose)
+        hparams.add_hparams(
+            num_questions=409,
+            thetas=[0.03, 0.06, 0.09, 0.12, 0.15],
+            k=6,
+            min_atom_amp=0.3,
+            metrics=[Metrics.F0_RMSE, Metrics.VDE],
+        )
+        return hparams
+
+    def default_data_reader_configs(self, hparams):
+        input_config = QuestionLabelGen.Config(
+            name="questions", directory=self.dir_question_labels,
+            num_questions=hparams.get("num_questions"),
+            match_length=("atoms",))
+        atom_config = AtomLabelGen.Config(
+            name="atoms", directory=self.dir_atom_labels,
+            thetas=hparams.get("thetas"), k=hparams.get("k", 6),
+            match_length=("questions",))
+        return [input_config, atom_config]
+
+    def default_model_config(self, hparams, dim_in, dim_out):
+        cfg = convert_legacy_string(
+            "RNNDYN-2_RELU_1024-1_BiLSTM_512-1_FC_{}".format(dim_out),
+            dim_in)
+        cfg.input_names = ("questions",)
+        cfg.output_names = ("pred_atoms",)
+        return cfg
+
+    def init(self, hparams, model_config=None, loss_configs=None,
+             data_reader_configs=None):
+        if data_reader_configs is None:
+            data_reader_configs = self.default_data_reader_configs(
+                hparams)
+        self.data_reader_configs = data_reader_configs
+        self._setup_datareaders(hparams)
+        self._setup_datasets(hparams)
+        if model_config is None:
+            example = self._example_batch(hparams)
+            dim_in = example["questions"].shape[-1]
+            dim_out = example["atoms"].shape[-1]
+            model_config = self.default_model_config(hparams, dim_in,
+                                                     dim_out)
+        if loss_configs is None:
+            loss_configs = [NamedLoss.Config(
+                "wmse_atoms", "WeightedNonzeroMSELoss",
+                ("pred_atoms", "atoms"), seq_mask="_seq_mask",
+                reduction="mean_per_frame", weight_zero=0.05,
+                weight_non_zero=1.0)]
+        return super().init(hparams, model_config, loss_configs,
+                            data_reader_configs)
+
+    def compute_score(self, hparams, results):
+        """F0 reconstruction benchmark: rebuild LF0 from predicted
+        atoms (+phrase) and compare to the original track
+        (AtomModelTrainer.compute_score :224 role)."""
+        metric_names = hparams.get("metrics",
+                                   [Metrics.F0_RMSE, Metrics.VDE])
+        metrics = Metrics(metric_names)
+        reader = self.datareaders["atoms"]
+        for id_name, sample in results.items():
+            pred = np.asarray(sample["pred_atoms"])
+            labels = reader.postprocess_sample(
+                pred[:, :len(reader.theta_interval)],
+                identify_peaks=True)
+            recon = AtomLabelGen.labels_to_lf0(
+                labels, k=hparams.get("k", 6),
+                amp_threshold=hparams.get("min_atom_amp", 0.3))
+            try:
+                phrase = reader.load_phrase(id_name)[:, 0]
+                recon = recon[:len(phrase)] + phrase[:len(recon)]
+            except FileNotFoundError:
+                pass
+            lf0, vuv = self._load_org_lf0(id_name, len(recon))
+            out_vuv = (np.abs(np.asarray(
+                sample["pred_atoms"])).sum(-1) > 1e-3).astype(float)
+            n = min(len(recon), len(lf0))
+            metrics.accumulate(id_name, Metrics.get_metrics(
+                metric_names, org_lf0=lf0[:n], org_vuv=vuv[:n],
+                output_lf0=recon[:n], output_vuv=out_vuv[:n]))
+        metrics.log()
+        return tuple(metrics.get_cum_values())
+
+    def _load_org_lf0(self, id_name, num_frames):
+        from idiaptts_tpu.data.world_feat import WorldFeatLabelGen
+        sample = WorldFeatLabelGen.load_sample(
+            id_name, self.dir_world_features, add_deltas=False,
+            load_sp=False, load_bap=False)
+        return sample[:, 0], sample[:, 1]
+
+    def gen_waveform(self, hparams, results):
+        raise NotImplementedError(
+            "Atom models predict intonation, not waveforms.")
+
+
+class AtomVUVDistPosModelTrainer(AtomModelTrainer):
+    """Adds VUV flag + smeared position flag to the atom targets
+    (AtomVUVDistPosModelTrainer.py:38-299 role)."""
+
+    def default_data_reader_configs(self, hparams):
+        input_config = QuestionLabelGen.Config(
+            name="questions", directory=self.dir_question_labels,
+            num_questions=hparams.get("num_questions"),
+            match_length=("atoms",))
+        atom_config = AtomVUVDistPosLabelGen.Config(
+            name="atoms", directory=self.dir_atom_labels,
+            thetas=hparams.get("thetas"), k=hparams.get("k", 6),
+            dir_world=self.dir_world_features,
+            match_length=("questions",))
+        return [input_config, atom_config]
+
+    def compute_score(self, hparams, results):
+        """Uses the predicted VUV column (last) for the VDE metric."""
+        metric_names = hparams.get("metrics",
+                                   [Metrics.F0_RMSE, Metrics.VDE])
+        metrics = Metrics(metric_names)
+        reader = self.datareaders["atoms"]
+        num_thetas = len(reader.theta_interval)
+        for id_name, sample in results.items():
+            pred = np.asarray(sample["pred_atoms"])
+            amps = pred[:, :num_thetas]
+            pred_vuv = (pred[:, -1] > 0.5).astype(float)
+            labels = reader.postprocess_sample(amps,
+                                               identify_peaks=True)
+            recon = AtomLabelGen.labels_to_lf0(
+                labels, k=hparams.get("k", 6),
+                amp_threshold=hparams.get("min_atom_amp", 0.3))
+            try:
+                phrase = reader.load_phrase(id_name)[:, 0]
+                recon = recon[:len(phrase)] + phrase[:len(recon)]
+            except FileNotFoundError:
+                pass
+            lf0, vuv = self._load_org_lf0(id_name, len(recon))
+            n = min(len(recon), len(lf0))
+            metrics.accumulate(id_name, Metrics.get_metrics(
+                metric_names, org_lf0=lf0[:n], org_vuv=vuv[:n],
+                output_lf0=recon[:n], output_vuv=pred_vuv[:n]))
+        metrics.log()
+        return tuple(metrics.get_cum_values())
+
+
+class AtomNeuralFilterModelTrainer(AtomVUVDistPosModelTrainer):
+    """End-to-end LF0 via trainable intonation filters on top of a
+    pre-trained atom model (AtomNeuralFilterModelTrainer.py:36-463).
+
+    Two-phase training: ``init_atom``/``train_atom`` pre-train the atom
+    sub-model, then the full model trains end-to-end on LF0."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.atom_trainer = None
+
+    def init_atom(self, hparams, atom_trainer):
+        """Attach (and optionally pre-train) the atom sub-trainer."""
+        self.atom_trainer = atom_trainer
+
+    def train_atom(self, hparams):
+        return self.atom_trainer.train(hparams)
+
+    def build_model_config(self, hparams, atom_model_config):
+        return NeuralFilters.Config(
+            atom_model_config=atom_model_config,
+            thetas=hparams.get("thetas"),
+            complex_poles=hparams.get("complex_poles", True),
+            phase_init=hparams.get("phase_init", 0.0),
+            input_names=atom_model_config.input_names,
+            output_names=("pred_intonation",))
+
+    def default_loss_configs(self, hparams):
+        return [NamedLoss.Config(
+            "lf0_vuv", "L1WeightedVUVMSELoss",
+            ("pred_intonation", "lf0_vuv_target"),
+            seq_mask="_seq_mask", reduction="mean_per_frame",
+            weight_unvoiced=hparams.get("weight_unvoiced", 0.5))]
+
+
+class PhraseAtomNeuralFilterModelTrainer(AtomNeuralFilterModelTrainer):
+    """Adds the phrase-bias filter; trains on flat LF0 targets
+    (PhraseAtomNeuralFilterModelTrainer.py:37-617)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.flat_trainer = None
+
+    def init_flat(self, hparams, flat_trainer):
+        self.flat_trainer = flat_trainer
+
+    def train_flat(self, hparams):
+        return self.flat_trainer.train(hparams)
+
+    def build_model_config(self, hparams, atom_model_config):
+        nf_config = super().build_model_config(hparams,
+                                               atom_model_config)
+        return PhraseNeuralFilters.Config(
+            neural_filters_config=nf_config,
+            phrase_theta_init=hparams.get("phrase_theta_init", 0.05),
+            phrase_bias_init=hparams.get("phrase_bias_init", 4.5),
+            input_names=nf_config.input_names,
+            output_names=("pred_intonation_phrase",))

@@ -263,16 +263,46 @@ class ModularTrainer:
         logger.info("Test loss: %f", loss)
         return loss
 
-    def forward(self, hparams, id_list):
+    def forward(self, hparams, id_list, input_only=True):
         """Batched inference -> {id: output dict} with post-processing
-        (:617-686 role)."""
+        (:617-686 role).  With ``input_only`` the dataset is built from
+        the model-input readers alone, so unseen utterances without
+        target features can be synthesised."""
         return self._forward_batched(
-            hparams, id_list, hparams.get("batch_size_val", 48))
+            hparams, id_list, hparams.get("batch_size_val", 48),
+            input_only=input_only)
+
+    def _model_input_names(self):
+        config = self.model_handler.model_config
+        names = set()
+
+        def collect(cfg):
+            if cfg is None:
+                return
+            for name in (cfg.input_names or ()):
+                names.add(name)
+            for attr in ("module_configs",):
+                for sub in getattr(cfg, attr, []) or []:
+                    collect(sub)
+
+        collect(config)
+        return names
 
     def _forward_batched(self, hparams, id_list, batch_size,
-                         post_process=True):
-        dataset = self.dataset_train or DatareadersDataset(
-            id_list, list(self.datareaders.values()))
+                         post_process=True, input_only=False):
+        readers = list(self.datareaders.values())
+        if input_only:
+            wanted = self._model_input_names()
+            filtered = [r for r in readers
+                        if r.name in wanted
+                        or any(n in wanted for n in r.output_names)]
+            if filtered:
+                readers = [_without_match_length(r) for r in filtered]
+            dataset = DatareadersDataset(id_list, readers,
+                                         random_select=False)
+        else:
+            dataset = self.dataset_train or DatareadersDataset(
+                id_list, readers)
         results = {}
         for start in range(0, len(id_list), batch_size):
             chunk = list(id_list)[start:start + batch_size]
@@ -310,7 +340,8 @@ class ModularTrainer:
     def synth(self, hparams, id_list):
         """Predict features and synthesise waveforms (:644-676 role)."""
         results = self._forward_batched(
-            hparams, id_list, hparams.get("batch_size_synth", 12))
+            hparams, id_list, hparams.get("batch_size_synth", 12),
+            input_only=True)
         return self.gen_waveform(hparams, results)
 
     def copy_synth(self, hparams, id_list):
@@ -373,3 +404,10 @@ class ModularTrainer:
     @staticmethod
     def create_hparams(hparams_string=None, verbose=False):
         return ExtendedHParams.create_hparams(hparams_string, verbose)
+def _without_match_length(reader):
+    """Shallow copy of a reader with match_length cleared (partners may
+    be absent in input-only datasets)."""
+    import copy
+    clone = copy.copy(reader)
+    clone.match_length = None
+    return clone
