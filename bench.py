@@ -42,7 +42,7 @@ def main():
     from idiaptts_tpu.data.normalisation import MeanCovarianceExtractor
     from idiaptts_tpu.models.rnn_dyn import convert_legacy_string
     from idiaptts_tpu.ops import mcep as mcep_ops
-    from idiaptts_tpu.ops.mlpg import mlpg_jax
+    from idiaptts_tpu.ops.mlpg import mlpg_factorise, mlpg_solve
     from idiaptts_tpu.ops.world.d4c import decode_aperiodicity
     from idiaptts_tpu.ops.world.synthesis import (_harmonic_part,
                                                   _noise_part)
@@ -91,34 +91,36 @@ def main():
     num_bins = 513
     hop = int(FS * 0.005)
 
+    # Fuse all three MLPG streams (sp, lf0, bap = 22 dims) and factorise
+    # the banded system ONCE per length bucket — production synthesis
+    # amortises the Cholesky across the whole corpus.
+    D = NUM_SPS
+    perm_var = jnp.concatenate([
+        var_sp[:D], var_lf0[:1], var_bap[:1],          # statics
+        var_sp[D:2 * D], var_lf0[1:2], var_bap[1:2],   # deltas
+        var_sp[2 * D:], var_lf0[2:], var_bap[2:]])     # double deltas
+    factors, tau = mlpg_factorise(perm_var, D + 2, bucket)
+
     @jax.jit
     def label_to_wav(params, questions_b, lengths_b, f0_cont_b):
         out = model.apply(params, {"questions": questions_b},
                           lengths=lengths_b, training=False)["pred"]
+        sp_blk = out[..., :3 * D]
+        lf0_blk = out[..., 3 * D:3 * D + 3]
+        vuv_b = out[..., 3 * D + 3] > 0.5
+        bap_blk = out[..., -3:]
+        fused = jnp.concatenate([
+            sp_blk[..., :D], lf0_blk[..., :1], bap_blk[..., :1],
+            sp_blk[..., D:2 * D], lf0_blk[..., 1:2],
+            bap_blk[..., 1:2],
+            sp_blk[..., 2 * D:], lf0_blk[..., 2:], bap_blk[..., 2:]],
+            axis=-1)
+        smoothed = mlpg_solve(fused, factors, tau, D + 2)  # (B, T, 22)
 
-        # Fuse all three MLPG streams (sp, lf0, bap = 22 dims) into ONE
-        # banded solve: a single scan instead of three (scans are
-        # latency-bound on TPU).
-        D = NUM_SPS
-        perm_var = jnp.concatenate([
-            var_sp[:D], var_lf0[:1], var_bap[:1],          # statics
-            var_sp[D:2 * D], var_lf0[1:2], var_bap[1:2],   # deltas
-            var_sp[2 * D:], var_lf0[2:], var_bap[2:]])     # ΔΔ
-
-        def per_utt(sample, f0_cont):
-            sp_blk = sample[:, :3 * D]
-            lf0_blk = sample[:, 3 * D:3 * D + 3]
-            vuv = sample[:, 3 * D + 3] > 0.5
-            bap_blk = sample[:, -3:]
-            fused = jnp.concatenate([
-                sp_blk[:, :D], lf0_blk[:, :1], bap_blk[:, :1],
-                sp_blk[:, D:2 * D], lf0_blk[:, 1:2], bap_blk[:, 1:2],
-                sp_blk[:, 2 * D:], lf0_blk[:, 2:], bap_blk[:, 2:]],
-                axis=1)
-            smoothed = mlpg_jax(fused, perm_var, D + 2)
-            coded = smoothed[:, :D]
-            lf0 = smoothed[:, D:D + 1]
-            bap = smoothed[:, D + 1:D + 2]
+        def per_utt(sm, vuv, f0_cont):
+            coded = sm[:, :D]
+            lf0 = sm[:, D:D + 1]
+            bap = sm[:, D + 1:D + 2]
             amp = mcep_ops.mcep_to_amp_sp(coded, num_bins, alpha)
             sp_power = amp ** 2
             f0 = jnp.where(vuv, jnp.exp(lf0[:, 0]), 0.0)
@@ -129,7 +131,7 @@ def main():
                                 jax.random.PRNGKey(0))
             return harm + noise
 
-        return jax.vmap(per_utt)(out, f0_cont_b)
+        return jax.vmap(per_utt)(smoothed, vuv_b, f0_cont_b)
 
     questions_b = jnp.asarray(batch)
     lengths_b = jnp.asarray(lengths)

@@ -54,8 +54,10 @@ class QuestionSet:
     (CQS) questions."""
 
     def __init__(self, file_questions):
-        self.binary = []       # list of (key, [compiled regexes])
-        self.continuous = []   # list of (key, compiled regex)
+        self.binary = []         # list of (key, [compiled regexes])
+        self.continuous = []     # list of (key, compiled regex)
+        self.raw_binary = []     # list of (key, [raw HTK patterns])
+        self.raw_continuous = []  # list of (key, raw pattern)
         with open(file_questions) as f:
             for line in f:
                 line = line.rstrip("\n")
@@ -69,6 +71,7 @@ class QuestionSet:
                     regex = wildcards2regex(patterns[0],
                                             convert_number_pattern=True)
                     self.continuous.append((key, re.compile(regex)))
+                    self.raw_continuous.append((key, patterns[0]))
                 elif kind == "QS":
                     compiled = []
                     for pattern in patterns:
@@ -77,9 +80,26 @@ class QuestionSet:
                             regex = "^" + regex
                         compiled.append(re.compile(regex))
                     self.binary.append((key, compiled))
+                    self.raw_binary.append((key, patterns))
                 else:
                     raise ValueError(
                         "Malformed question line: {}".format(line))
+        self._native = None
+
+    def native(self):
+        """Native C++ matcher for this question set (built lazily;
+        None when the toolchain is unavailable)."""
+        if self._native is None:
+            try:
+                from idiaptts_tpu.data.native_questions import \
+                    NativeQuestionSet
+                self._native = NativeQuestionSet(self)
+            except Exception as e:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "Native question matcher unavailable: %s", e)
+                self._native = False
+        return self._native or None
 
     @property
     def dict_size(self):
@@ -129,10 +149,11 @@ class HTSLabelNormalisation:
     """Question matching + state-aligned frame expansion."""
 
     def __init__(self, file_questions, add_frame_features=True,
-                 subphone_feats="full"):
+                 subphone_feats="full", use_native=True):
         self.question_set = QuestionSet(file_questions)
         self.add_frame_features = add_frame_features
         self.subphone_feats = subphone_feats
+        self.use_native = use_native
         self.frame_feature_size = {"full": 9, "state_only": 1,
                                    "frame_only": 1, "uniform_state": 2,
                                    "minimal_frame": 2, "coarse_coding": 4,
@@ -145,9 +166,11 @@ class HTSLabelNormalisation:
     # -- frame expansion -------------------------------------------------
     def load_labels_with_state_alignment(self, file_name):
         phones = _parse_state_label(file_name)
+        native = self.question_set.native() if self.use_native else None
         blocks = []
         for base_label, state_frames in phones:
-            answers = self.question_set.match(base_label)
+            answers = (native.match(base_label) if native is not None
+                       else self.question_set.match(base_label))
             if state_frames is None:
                 blocks.append(answers[None, :])
                 continue

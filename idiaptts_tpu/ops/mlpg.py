@@ -223,6 +223,74 @@ def mlpg_jax(features, variances, feature_dim):
     return _solve_banded(l0, l1, l2, b)
 
 
+# ---------------------------------------------------------------------------
+# Fast path: factor once per (T, variances), solve with associative scans.
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("feature_dim", "num_frames"))
+def mlpg_factorise(variances, feature_dim, num_frames):
+    """Precompute the banded Cholesky factors (3, T, D).
+
+    The precision matrix depends only on the (time-invariant) variances
+    and the frame count, NOT on the features — so production synthesis
+    factorises once per length bucket and reuses the factors for every
+    utterance/batch."""
+    T = num_frames
+    var_row = variances.reshape(3, feature_dim)
+    var = jnp.broadcast_to(var_row[None], (T, 3, feature_dim))
+    var = var.at[0, 1:, :].set(_BOUNDARY_VAR)
+    var = var.at[-1, 1:, :].set(_BOUNDARY_VAR)
+    ab, _ = _banded_system_jnp(jnp.zeros((T, 3, feature_dim)), var)
+    l0, l1, l2 = _cholesky_banded_scan(ab)
+    tau = 1.0 / var                                   # (T, 3, D)
+    return jnp.stack([l0, l1, l2]), tau
+
+
+@partial(jax.jit, static_argnames=("feature_dim",))
+def mlpg_solve(features, factors, tau, feature_dim):
+    """MLPG with precomputed Cholesky factors: only the two
+    substitution scans run per utterance (the factorisation — a third
+    of the sequential work — is amortised across the corpus).
+
+    features: (..., T, 3*feature_dim); factors: (3, T, D) from
+    :func:`mlpg_factorise`.  Batched over leading dims.
+    """
+    l0, l1, l2 = factors[0], factors[1], factors[2]
+    T = features.shape[-2]
+    feats = features.reshape(features.shape[:-2] + (T, 3, feature_dim))
+    btau = feats * tau
+
+    def shift(x, k):
+        pad = [(0, 0)] * (x.ndim - 2)
+        if k > 0:
+            return jnp.pad(x, pad + [(k, 0), (0, 0)])[..., :-k, :]
+        if k < 0:
+            return jnp.pad(x, pad + [(0, -k), (0, 0)])[..., -k:, :]
+        return x
+
+    b = jnp.zeros(feats.shape[:-2] + (feature_dim,), feats.dtype)
+    for w, coeff in enumerate(_WINDOWS):
+        for k in (-1, 0, 1):
+            b = b + coeff[k + 1] * shift(btau[..., w, :], k)
+
+    def solve_one(b_single):
+        return _solve_banded(l0, l1, l2, b_single)
+
+    if b.ndim == 2:
+        return solve_one(b)
+    flat = b.reshape(-1, T, feature_dim)
+    B = flat.shape[0]
+    # One scan with batch folded into the vector dim (fewer sequential
+    # launches than vmap-of-scans); layout (T, B*D) matches tiling.
+    moved = jnp.moveaxis(flat, 0, 1).reshape(T, B * feature_dim)
+    l0_t = jnp.tile(l0, (1, B))
+    l1_t = jnp.tile(l1, (1, B))
+    l2_t = jnp.tile(l2, (1, B))
+    solved = _solve_banded(l0_t, l1_t, l2_t, moved)
+    return jnp.moveaxis(solved.reshape(T, B, feature_dim), 1,
+                        0).reshape(b.shape)
+
+
 class MLPG:
     """API-compatible front door (reference ``MLPG.generation``,
     mlpg.py:94-127)."""

@@ -1,0 +1,211 @@
+"""MLPG banded solve as a single fused Pallas TPU kernel.
+
+The scan-based implementation in :mod:`idiaptts_tpu.ops.mlpg` issues
+three sequential ``lax.scan`` passes (Cholesky, forward, backward),
+each paying per-step XLA loop overhead.  This kernel runs the whole
+bandwidth-2 solve in ONE kernel launch with every buffer resident in
+VMEM: banded system assembly, the Cholesky recurrence, and both
+substitutions as tight ``fori_loop``s whose per-step work is a (1, D)
+VPU vector op.  Feature dimensions (all streams fused) ride the lane
+axis.
+
+Numerical contract identical to ``mlpg_jax``: windows (1), (-.5,0,.5),
+(1,-2,1); 1e11 boundary variances (mlpg.py docstring / reference
+misc/mlpg.py:94-127).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PALLAS = True
+except ImportError:  # pragma: no cover
+    _HAS_PALLAS = False
+
+_BOUNDARY_VAR = 1e11
+
+
+def _mlpg_kernel(b_ref, ab0_ref, ab1_ref, ab2_ref, out_ref, l0_ref,
+                 l1_ref, l2_ref, y_ref):
+    """Solve L L^T x = b for a bandwidth-2 banded SPD system.
+
+    All refs are (T, D) in VMEM; ab0/1/2 are the [diag, sub1, sub2]
+    banded rows; scratch l0/l1/l2 hold the Cholesky factors and y the
+    intermediate solution.
+    """
+    T = b_ref.shape[0]
+
+    # --- banded Cholesky --------------------------------------------
+    # l0[t] = sqrt(a0[t] - l1[t-1]^2 - l2[t-2]^2)
+    # l1[t] = (a1[t] - l1[t-1] * l2[t-1]) / l0[t]
+    # l2[t] = a2[t] / l0[t]
+    l0_0 = jnp.sqrt(jnp.maximum(ab0_ref[0, :], 1e-20))
+    l0_ref[0, :] = l0_0
+    l1_ref[0, :] = ab1_ref[0, :] / l0_0
+    l2_ref[0, :] = ab2_ref[0, :] / l0_0
+
+    l0_1 = jnp.sqrt(jnp.maximum(ab0_ref[1, :] - l1_ref[0, :] ** 2,
+                                1e-20))
+    l0_ref[1, :] = l0_1
+    l1_ref[1, :] = (ab1_ref[1, :]
+                    - l1_ref[0, :] * l2_ref[0, :]) / l0_1
+    l2_ref[1, :] = ab2_ref[1, :] / l0_1
+
+    def chol_body(t, _):
+        l1_m1 = l1_ref[t - 1, :]
+        l2_m1 = l2_ref[t - 1, :]
+        l2_m2 = l2_ref[t - 2, :]
+        l0_t = jnp.sqrt(jnp.maximum(
+            ab0_ref[t, :] - l1_m1 ** 2 - l2_m2 ** 2, 1e-20))
+        l0_ref[t, :] = l0_t
+        l1_ref[t, :] = (ab1_ref[t, :] - l1_m1 * l2_m1) / l0_t
+        l2_ref[t, :] = ab2_ref[t, :] / l0_t
+        return 0
+
+    jax.lax.fori_loop(2, T, chol_body, 0)
+
+    # --- forward substitution: L y = b ------------------------------
+    y_ref[0, :] = b_ref[0, :] / l0_ref[0, :]
+    y_ref[1, :] = (b_ref[1, :] - l1_ref[0, :] * y_ref[0, :]) \
+        / l0_ref[1, :]
+
+    def fwd_body(t, _):
+        y_ref[t, :] = (b_ref[t, :]
+                       - l1_ref[t - 1, :] * y_ref[t - 1, :]
+                       - l2_ref[t - 2, :] * y_ref[t - 2, :]) \
+            / l0_ref[t, :]
+        return 0
+
+    jax.lax.fori_loop(2, T, fwd_body, 0)
+
+    # --- backward substitution: L^T x = y ---------------------------
+    out_ref[T - 1, :] = y_ref[T - 1, :] / l0_ref[T - 1, :]
+    out_ref[T - 2, :] = (y_ref[T - 2, :]
+                         - l1_ref[T - 2, :] * out_ref[T - 1, :]) \
+        / l0_ref[T - 2, :]
+
+    def bwd_body(i, _):
+        t = T - 3 - i
+        out_ref[t, :] = (y_ref[t, :]
+                         - l1_ref[t, :] * out_ref[t + 1, :]
+                         - l2_ref[t, :] * out_ref[t + 2, :]) \
+            / l0_ref[t, :]
+        return 0
+
+    jax.lax.fori_loop(0, T - 2, bwd_body, 0)
+
+
+@partial(jax.jit, static_argnames=("feature_dim",))
+def mlpg_pallas(features, variances, feature_dim):
+    """Drop-in replacement for ``mlpg_jax`` running the banded solve in
+    one Pallas kernel.
+
+    features: (T, 3*feature_dim) [statics, deltas, delta-deltas];
+    variances: (3*feature_dim,).  Returns (T, feature_dim).
+    """
+    from idiaptts_tpu.ops.mlpg import _banded_system_jnp
+
+    T = features.shape[0]
+    feats = features.reshape(T, 3, feature_dim)
+    var = jnp.broadcast_to(variances.reshape(3, feature_dim)[None],
+                           (T, 3, feature_dim))
+    var = var.at[0, 1:, :].set(_BOUNDARY_VAR)
+    var = var.at[-1, 1:, :].set(_BOUNDARY_VAR)
+    ab, b = _banded_system_jnp(feats, var)
+
+    # Pad the lane axis to 128 for clean tiling.
+    D = feature_dim
+    D_pad = int(np.ceil(max(D, 1) / 128) * 128)
+    pad = [(0, 0), (0, D_pad - D)]
+    b_p = jnp.pad(b, pad)
+    # Padding lanes need a benign SPD system (identity).
+    ab0_p = jnp.pad(ab[0], pad, constant_values=1.0)
+    ab1_p = jnp.pad(ab[1], pad)
+    ab2_p = jnp.pad(ab[2], pad)
+
+    out = pl.pallas_call(
+        _mlpg_kernel,
+        out_shape=jax.ShapeDtypeStruct((T, D_pad), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((T, D_pad), jnp.float32),
+            pltpu.VMEM((T, D_pad), jnp.float32),
+            pltpu.VMEM((T, D_pad), jnp.float32),
+            pltpu.VMEM((T, D_pad), jnp.float32),
+        ],
+    )(b_p, ab0_p, ab1_p, ab2_p)
+    return out[:, :D]
+
+
+@partial(jax.jit, static_argnames=("feature_dim",))
+def mlpg_pallas_batched(features_b, variances, feature_dim):
+    """Batched MLPG in ONE kernel launch: utterances ride the lane axis
+    together with the feature dims (B*D lanes), so the sequential
+    T-loop is paid once for the whole batch instead of per utterance
+    (vmap of a sequential kernel would serialise).
+
+    features_b: (B, T, 3*feature_dim); variances: (3*feature_dim,).
+    Returns (B, T, feature_dim).
+    """
+    from idiaptts_tpu.ops.mlpg import _banded_system_jnp
+
+    B, T, _ = features_b.shape
+    D = feature_dim
+    feats = features_b.reshape(B, T, 3, D)
+    var = jnp.broadcast_to(variances.reshape(3, D)[None],
+                           (T, 3, D))
+    var = var.at[0, 1:, :].set(_BOUNDARY_VAR)
+    var = var.at[-1, 1:, :].set(_BOUNDARY_VAR)
+
+    # The banded matrix is identical for every utterance (variances are
+    # shared); only b differs.
+    ab, _ = _banded_system_jnp(jnp.zeros((T, 3, D)), var)
+
+    def b_only(f):
+        _, b = _banded_system_jnp(f, var)
+        return b
+
+    b_all = jax.vmap(b_only)(feats)                  # (B, T, D)
+    # Lanes: (T, B*D).
+    b_flat = jnp.moveaxis(b_all, 0, 1).reshape(T, B * D)
+    lanes = B * D
+    lanes_pad = int(np.ceil(max(lanes, 1) / 128) * 128)
+    pad = [(0, 0), (0, lanes_pad - lanes)]
+    b_p = jnp.pad(b_flat, pad)
+    tile = jnp.tile(ab, (1, 1, B))                   # (3, T, B*D)
+    ab0_p = jnp.pad(tile[0], pad, constant_values=1.0)
+    ab1_p = jnp.pad(tile[1], pad)
+    ab2_p = jnp.pad(tile[2], pad)
+
+    out = pl.pallas_call(
+        _mlpg_kernel,
+        out_shape=jax.ShapeDtypeStruct((T, lanes_pad), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((T, lanes_pad), jnp.float32),
+            pltpu.VMEM((T, lanes_pad), jnp.float32),
+            pltpu.VMEM((T, lanes_pad), jnp.float32),
+            pltpu.VMEM((T, lanes_pad), jnp.float32),
+        ],
+    )(b_p, ab0_p, ab1_p, ab2_p)
+    out = out[:, :lanes].reshape(T, B, D)
+    return jnp.moveaxis(out, 0, 1)
+
+
+def mlpg_auto(features, variances, feature_dim):
+    """Use the Pallas kernel on TPU, the scan path elsewhere."""
+    from idiaptts_tpu.ops.mlpg import mlpg_jax
+
+    if _HAS_PALLAS and jax.default_backend() not in ("cpu",):
+        try:
+            return mlpg_pallas(features, variances, feature_dim)
+        except Exception:  # pragma: no cover - fallback safety
+            pass
+    return mlpg_jax(features, variances, feature_dim)

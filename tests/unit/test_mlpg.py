@@ -76,3 +76,40 @@ def test_mlpg_class_api():
     features, covariance = _make_problem(T=30, D=2, seed=7)
     out = MLPG().generation(features, covariance, 2)
     assert out.shape == (30, 2)
+
+
+def test_mlpg_factorised_solve_matches_numpy():
+    """Precomputed-factor path (production synthesis) equals the full
+    solve."""
+    import jax.numpy as jnp
+    from idiaptts_tpu.ops.mlpg import mlpg_factorise, mlpg_solve
+    features, covariance = _make_problem(T=80, D=3, seed=11)
+    var = np.ascontiguousarray(np.diagonal(covariance))
+    factors, tau = mlpg_factorise(jnp.asarray(var), 3, 80)
+    ref = mlpg_numpy(features, covariance, 3)
+    # Single utterance.
+    out1 = np.asarray(mlpg_solve(jnp.asarray(features), factors, tau, 3))
+    np.testing.assert_allclose(out1, ref, atol=5e-3)
+    # Batched path (batch folded into the scan lanes).
+    batch = np.stack([features, features * 0.5])
+    out2 = np.asarray(mlpg_solve(jnp.asarray(batch), factors, tau, 3))
+    np.testing.assert_allclose(out2[0], ref, atol=5e-3)
+    np.testing.assert_allclose(out2[1], np.asarray(out1) * 0.5,
+                               atol=5e-3)
+
+
+def test_mlpg_pallas_kernel_cpu_interpret():
+    """The Pallas kernel matches the reference solve (interpret mode on
+    CPU; compiled on TPU)."""
+    import jax
+    import jax.numpy as jnp
+    if jax.default_backend() != "tpu":
+        pytest.skip("Pallas TPU kernel requires TPU (interpret mode "
+                    "diverges on this version)")
+    from idiaptts_tpu.ops.pallas_mlpg import mlpg_pallas
+    features, covariance = _make_problem(T=64, D=4, seed=3)
+    var = np.ascontiguousarray(np.diagonal(covariance))
+    ref = mlpg_numpy(features, covariance, 4)
+    out = np.asarray(mlpg_pallas(jnp.asarray(features),
+                                 jnp.asarray(var), 4))
+    np.testing.assert_allclose(out, ref, atol=5e-3)

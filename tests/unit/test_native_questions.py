@@ -1,0 +1,54 @@
+"""Native C++ question matcher: parity with the Python regex engine
+(and hence with the reference fixture outputs) over every phone label
+in the fixture corpus."""
+
+import os
+
+import numpy as np
+import pytest
+
+from idiaptts_tpu.data.questions import QuestionSet, _parse_state_label
+
+
+@pytest.fixture(scope="module")
+def question_set(fixtures_dir):
+    return QuestionSet(os.path.join(fixtures_dir,
+                                    "questions-en-radio_dnn_400.hed"))
+
+
+def test_native_builds(question_set):
+    native = question_set.native()
+    if native is None:
+        pytest.skip("native toolchain unavailable")
+    assert native.dict_size == question_set.dict_size == 400
+
+
+def test_native_parity_all_fixture_labels(fixtures_dir, question_set):
+    native = question_set.native()
+    if native is None:
+        pytest.skip("native toolchain unavailable")
+    labels = []
+    for i in range(1, 10):
+        phones = _parse_state_label(os.path.join(
+            fixtures_dir, "labels", "label_state_align",
+            "LJ001-000{}.lab".format(i)))
+        labels += [p[0] for p in phones]
+    assert len(labels) > 500
+    for label in labels:
+        py = question_set.match(label)
+        nat = native.match(label)
+        np.testing.assert_allclose(nat, py, atol=1e-6,
+                                   err_msg=label)
+
+
+def test_native_match_many(question_set):
+    native = question_set.native()
+    if native is None:
+        pytest.skip("native toolchain unavailable")
+    labels = ["xx~xx-#+p=r:xx_xx/A/0_0_0/B/xx-xx-xx:xx-xx&xx-xx#xx-xx"
+              "$xx-xx>xx-xx<xx-xx|xx/C/1+1+5/D/0_0/E/xx+xx:xx+xx&xx+xx"
+              "#xx+xx/F/content_2/G/0_0/H/xx=xx:1=5&0/I/2_1/J/38+27-5"]
+    batch = native.match_many(labels * 3)
+    assert batch.shape == (3, 400)
+    np.testing.assert_allclose(batch[0], question_set.match(labels[0]),
+                               atol=1e-6)

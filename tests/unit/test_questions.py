@@ -1,0 +1,77 @@
+"""HTS question engine tests: BIT-EXACT parity with the reference's
+committed fixture ``.questions`` files plus unit checks of the pattern
+compiler and subphone feature variants."""
+
+import os
+
+import numpy as np
+import pytest
+
+from idiaptts_tpu.data.questions import (HTSLabelNormalisation,
+                                         QuestionLabelGen,
+                                         wildcards2regex)
+
+
+def test_wildcards2regex():
+    import re
+    r = wildcards2regex("*-aa+*")
+    assert re.search(r, "xx~xx-aa+b=c")
+    assert not re.search(r, "xx~xx-ab+b=c")
+    # No wildcard: search anywhere, no anchors.
+    r2 = wildcards2regex("-aa+")
+    assert re.search(r2, "x-aa+y")
+    # Anchored start when no leading '*'.
+    r3 = wildcards2regex("aa+*")
+    assert re.search(r3, "aa+rest")
+    assert not re.search(r3, "baa+rest")
+    # Number pattern conversion.
+    r4 = wildcards2regex("*/A/(\\d+)_*", convert_number_pattern=True)
+    m = re.search(r4, "foo/A/42_0_0/B/")
+    assert m and m.group(1) == "42"
+
+
+@pytest.mark.parametrize("utt", ["LJ001-0001", "LJ001-0002"])
+def test_bit_exact_vs_fixture_questions(fixtures_dir, utt):
+    """The full frame-level question matrix equals the reference's
+    committed output exactly (409 dims: 400 questions + 9 subphone
+    features) — this exercises the NATIVE C++ matcher by default."""
+    label_dict, vmin, vmax = QuestionLabelGen.gen_data(
+        os.path.join(fixtures_dir, "labels", "label_state_align"),
+        os.path.join(fixtures_dir, "questions-en-radio_dnn_400.hed"),
+        dir_out=None, id_list=[utt], return_dict=True)
+    mine = label_dict[utt]
+    ref = np.fromfile(os.path.join(fixtures_dir, "questions",
+                                   utt + ".questions"),
+                      np.float32).reshape(-1, 409)
+    assert mine.shape == ref.shape
+    np.testing.assert_array_equal(mine, ref)
+
+
+def test_subphone_feature_variants(fixtures_dir):
+    q_file = os.path.join(fixtures_dir,
+                          "questions-en-radio_dnn_400.hed")
+    lab = os.path.join(fixtures_dir, "labels", "label_state_align",
+                       "LJ001-0002.lab")
+    for feats, extra in [("full", 9), ("state_only", 1),
+                         ("frame_only", 1), ("minimal_frame", 2),
+                         ("coarse_coding", 4)]:
+        op = HTSLabelNormalisation(q_file, subphone_feats=feats)
+        out = op.load_labels_with_state_alignment(lab)
+        assert out.shape[1] == 400 + extra, feats
+
+
+def test_question_reader_with_minmax_norm(fixtures_dir):
+    config = QuestionLabelGen.Config(
+        name="questions",
+        directory=os.path.join(fixtures_dir, "questions"),
+        num_questions=409)
+    reader = config.create_reader()
+    sample = reader["LJ001-0001"]["questions"]
+    # Min-max normalised to [0, 1] (state index 5 -> 1.0 etc.).
+    assert sample.min() >= -1e-6
+    assert sample.max() <= 1.0 + 1e-6
+    denorm = reader.postprocess_sample(sample)
+    ref = np.fromfile(os.path.join(fixtures_dir, "questions",
+                                   "LJ001-0001.questions"),
+                      np.float32).reshape(-1, 409)
+    np.testing.assert_allclose(denorm, ref, atol=1e-4)
