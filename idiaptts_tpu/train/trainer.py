@@ -78,6 +78,7 @@ class ModularTrainer:
         self._setup_datareaders(hparams)
         self._setup_datasets(hparams)
         self.loss_configs = loss_configs or []
+        self._setup_summary_writer(hparams)
 
         # Model: load checkpoint or create fresh (:187-251 policy).
         checkpoint_dir = self._model_dir(hparams)
@@ -126,6 +127,29 @@ class ModularTrainer:
             except FileNotFoundError:
                 pass
         return self
+
+    def _setup_summary_writer(self, hparams):
+        """TensorBoard scalars + hparams text (ModularTrainer.py:198-214
+        and ModularModelHandlerPyTorch.py:694-705, 858-867 role)."""
+        self.summary_writer = None
+        if not hparams.get("out_dir") or not hparams.get("model_name"):
+            return
+        try:
+            from tensorboardX import SummaryWriter
+            log_dir = os.path.join(hparams.out_dir, hparams.model_name,
+                                   "tensorboard")
+            self.summary_writer = SummaryWriter(log_dir=log_dir)
+            self.summary_writer.add_text(
+                "hparams", hparams.get_debug_string())
+        except Exception as e:  # noqa: BLE001 - logging only
+            logger.warning("TensorBoard writer unavailable: %s", e)
+
+    def _log_scalar(self, tag, value, step):
+        if getattr(self, "summary_writer", None) is not None:
+            try:
+                self.summary_writer.add_scalar(tag, value, step)
+            except Exception:
+                pass
 
     def _model_dir(self, hparams):
         if hparams.get("out_dir") and hparams.get("model_name"):
@@ -201,6 +225,10 @@ class ModularTrainer:
             all_loss_train.append(train_loss)
             logger.info("Epoch %d train loss: %f", self.total_epoch,
                         train_loss)
+            self._log_scalar("loss/train", train_loss, self.total_epoch)
+            for name, value in per_loss.items():
+                self._log_scalar("loss/train_" + name, value,
+                                 self.total_epoch)
             if math.isnan(train_loss):
                 logger.error("Train loss is NaN, stopping.")
                 break
@@ -219,6 +247,7 @@ class ModularTrainer:
                 all_loss.append(val_loss)
                 logger.info("Epoch %d validation loss: %f",
                             self.total_epoch, val_loss)
+                self._log_scalar("loss/val", val_loss, self.total_epoch)
                 if self.model_handler.scheduler is not None:
                     self.model_handler.scheduler.on_metric(val_loss)
                 if val_loss < self.best_loss and not math.isnan(val_loss):
