@@ -231,21 +231,33 @@ def collate_batch(samples, bucket_boundaries=DEFAULT_BUCKET_BOUNDARIES,
         if pad_to_bucket:
             max_len = bucket_length(max_len, bucket_boundaries)
         max_len_overall = max(max_len_overall, max_len)
-        padded = np.zeros((len(feats), max_len) + feats[0].shape[1:],
+        # Trailing dims may differ per sample (e.g. attention matrices
+        # with per-utterance phone counts): pad each to the batch max.
+        trailing = tuple(
+            max(f.shape[d] for f in feats)
+            for d in range(1, feats[0].ndim))
+        padded = np.zeros((len(feats), max_len) + trailing,
                           dtype=np.float32)
         for i, f in enumerate(feats):
-            padded[i, :len(f)] = f
+            padded[(i, slice(0, len(f)))
+                   + tuple(slice(0, s) for s in f.shape[1:])] = f
         if not batch_first:
             padded = np.moveaxis(padded, 0, 1)
         batch[key] = padded
         lengths[key] = lens
-    # Global mask from the first feature (frame-level readers share it).
-    first = keys[0]
-    T = batch[first].shape[1 if batch_first else 0]
-    mask = (np.arange(T)[None, :] < lengths[first][:, None])
-    batch["_seq_mask"] = mask[..., None].astype(np.float32) \
-        if batch_first else \
-        np.moveaxis(mask[..., None].astype(np.float32), 0, 1)
+    # Masks: `_seq_mask` from the first feature (back-compat) plus a
+    # per-feature mask `_seq_mask:<key>` so losses on features with a
+    # different time base (e.g. frame-level targets next to phone-level
+    # inputs) mask correctly.
+    def make_mask(key):
+        T = batch[key].shape[1 if batch_first else 0]
+        mask = (np.arange(T)[None, :] < lengths[key][:, None])
+        mask = mask[..., None].astype(np.float32)
+        return mask if batch_first else np.moveaxis(mask, 0, 1)
+
+    for key in keys:
+        batch["_seq_mask:" + key] = make_mask(key)
+    batch["_seq_mask"] = batch["_seq_mask:" + keys[0]]
     batch["_lengths"] = lengths
     batch["_id_list"] = [s.get("_id_list") for s in samples]
     return batch

@@ -89,6 +89,14 @@ class EncDecDyn(nn.Module):
 
         if cfg.attention_type == "fixed":
             attn = jnp.asarray(data_dict[cfg.attention_name])
+            # Align the phone axis with the (bucket-padded) encoder
+            # output: padded phones receive zero attention.
+            P_enc = enc_out.shape[1]
+            if attn.shape[-1] < P_enc:
+                attn = jnp.pad(attn, ((0, 0), (0, 0),
+                                      (0, P_enc - attn.shape[-1])))
+            elif attn.shape[-1] > P_enc:
+                attn = attn[..., :P_enc]
             context = FixedAttention()(attn, enc_out)
         else:
             raise NotImplementedError(cfg.attention_type)

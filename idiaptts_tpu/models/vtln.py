@@ -183,8 +183,19 @@ class _AllPassWarpDictModule(nn.Module):
     def __call__(self, data_dict, lengths=None, training=False):
         cfg = self.config
         features = merge_inputs(data_dict, cfg.input_names)
-        alpha_inputs = [jnp.asarray(data_dict[name])
-                        for name in cfg.alpha_input_names]
+        T = features.shape[1]
+        alpha_inputs = []
+        for name in cfg.alpha_input_names:
+            inp = jnp.asarray(data_dict[name])
+            if inp.ndim == 2:
+                inp = inp[:, None, :]
+            if inp.shape[1] != T:
+                # Utterance-level input (e.g. a speaker embedding that
+                # the collate padded along time): broadcast frame 0.
+                inp = jnp.broadcast_to(inp[:, :1],
+                                       (inp.shape[0], T,
+                                        inp.shape[-1]))
+            alpha_inputs.append(inp)
         layer = AllPassWarpLayer(
             warp_matrix_size=cfg.warp_matrix_size,
             alpha_layer_in_dims=tuple(a.shape[-1]

@@ -45,7 +45,10 @@ class AtomModelTrainer(ModularTrainer):
         self.dir_question_labels = dir_question_labels
         self.dir_atom_labels = dir_atom_labels
         self.dir_world_features = dir_world_features
-        self.post_processing_mapping = {"pred_atoms": "atoms"}
+        # Postprocessing (denorm + peak identification) happens
+        # explicitly in compute_score — the network emits plain
+        # normalised amplitudes.
+        self.post_processing_mapping = {}
 
     @staticmethod
     def create_hparams(hparams_string=None, verbose=False):

@@ -77,10 +77,11 @@ class EncDecMonophoneModelTrainer(AcousticModelTrainer):
             NamedLoss.Config(
                 "mse", "MSELoss",
                 ("pred_acoustic_features", "acoustic_features"),
-                seq_mask="_seq_mask", reduction="mean_per_frame"),
+                seq_mask="_seq_mask:acoustic_features",
+                reduction="mean_per_frame"),
             NamedLoss.Config(
                 "gate", "BCELoss", ("pred_gate", "gate_target"),
-                seq_mask="_seq_mask", reduction="mean",
+                seq_mask="_seq_mask:gate_target", reduction="mean",
                 loss_weight=hparams.get("gate_loss_weight", 1.0)
                 if "gate_loss_weight" in hparams else 1.0),
         ]
@@ -107,8 +108,10 @@ class EncDecMonophoneModelTrainer(AcousticModelTrainer):
         if loss_configs is None:
             loss_configs = self.default_loss_configs(hparams)
         from idiaptts_tpu.train.trainer import ModularTrainer
+        # Datasets (with the gate wrapper) are already set up above —
+        # pass None so the base init does not rebuild them.
         return ModularTrainer.init(self, hparams, model_config,
-                                   loss_configs, data_reader_configs)
+                                   loss_configs, None)
 
 
 def _attach_gate_target(dataset):

@@ -118,7 +118,8 @@ class ModularModelHandler:
     @staticmethod
     def _batch_to_model_input(batch):
         data = {k: jnp.asarray(v) for k, v in batch.items()
-                if not k.startswith("_") or k == "_seq_mask"}
+                if not k.startswith("_")
+                or k.startswith("_seq_mask")}
         lengths_dict = batch.get("_lengths")
         lengths = None
         if lengths_dict:

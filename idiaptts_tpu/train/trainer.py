@@ -75,8 +75,11 @@ class ModularTrainer:
              data_reader_configs=None):
         if data_reader_configs is not None:
             self.data_reader_configs = data_reader_configs
-        self._setup_datareaders(hparams)
-        self._setup_datasets(hparams)
+            self._setup_datareaders(hparams)
+            self._setup_datasets(hparams)
+        elif not self.datareaders:
+            self._setup_datareaders(hparams)
+            self._setup_datasets(hparams)
         self.loss_configs = loss_configs or []
         self._setup_summary_writer(hparams)
 

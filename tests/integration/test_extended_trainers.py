@@ -1,0 +1,204 @@
+"""Integration tests for the extended trainer families on fixture data:
+atoms, VTLN, enc-dec monophone, WaveNet, classification, and the
+multi-device data-parallel step."""
+
+import os
+
+import numpy as np
+import pytest
+
+ID_LIST = ["LJ001-000{}".format(i) for i in range(1, 10)]
+THETAS = [0.03, 0.06, 0.09, 0.12, 0.15]
+
+
+def test_atom_trainer_pipeline(fixtures_dir, tmp_path):
+    from idiaptts_tpu.train.atom_trainers import AtomModelTrainer
+    hparams = AtomModelTrainer.create_hparams()
+    hparams.num_questions = 409
+    hparams.thetas = THETAS
+    hparams.out_dir = str(tmp_path / "exp")
+    hparams.model_name = "atoms"
+    hparams.epochs = 2
+    hparams.batch_size_train = 3
+    hparams.learning_rate = 0.001
+    hparams.seed = 1
+    hparams.test_set_perc = 0.0
+    hparams.val_set_perc = 0.25
+    hparams.use_best_as_final_model = False
+
+    trainer = AtomModelTrainer(
+        hparams, ID_LIST,
+        dir_question_labels=os.path.join(fixtures_dir, "questions"),
+        dir_atom_labels=os.path.join(
+            fixtures_dir, "wcad-0.030_0.060_0.090_0.120_0.150"),
+        dir_world_features=os.path.join(fixtures_dir, "WORLD"))
+    from idiaptts_tpu.models.rnn_dyn import convert_legacy_string
+    cfg = convert_legacy_string("RNNDYN-1_RELU_64-1_FC_5", 409)
+    cfg.input_names = ("questions",)
+    cfg.output_names = ("pred_atoms",)
+    trainer.init(hparams, model_config=cfg)
+    _, train_losses = trainer.train(hparams)
+    assert train_losses[-1] < train_losses[0]
+
+    f0_rmse, vde = trainer.benchmark(hparams,
+                                     trainer.id_list_train[:2])
+    assert 0 < f0_rmse < 500
+    assert 0 <= vde <= 1
+
+
+def test_neural_filter_model_e2e(fixtures_dir):
+    """NeuralFilters end-to-end: atoms sub-model + intonation filters
+    produce an LF0 curve and train."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from idiaptts_tpu.models.intonation import NeuralFilters
+    from idiaptts_tpu.models.rnn_dyn import convert_legacy_string
+
+    atom_cfg = convert_legacy_string("RNNDYN-1_RELU_32-1_FC_7", 20)
+    atom_cfg.input_names = ("questions",)
+    atom_cfg.output_names = ("pred_atoms",)
+    nf_cfg = NeuralFilters.Config(
+        atom_model_config=atom_cfg, thetas=THETAS,
+        input_names=("questions",),
+        output_names=("pred_intonation",))
+    model = nf_cfg.create_model()
+    B, T = 2, 120
+    rng = np.random.RandomState(0)
+    data = {"questions": jnp.asarray(rng.randn(B, T, 20), jnp.float32)}
+    params = model.init(jax.random.PRNGKey(0), data, training=True)
+    out = model.apply(params, data, training=True)
+    # [lf0, vuv, amps(5)]
+    assert out["pred_intonation"].shape == (B, T, 7)
+
+    target = jnp.asarray(rng.randn(B, T, 1), jnp.float32)
+
+    def loss_fn(p):
+        o = model.apply(p, data, training=True)
+        return jnp.mean((o["pred_intonation"][..., :1] - target) ** 2)
+
+    l0 = float(loss_fn(params))
+    opt = optax.adam(5e-3)
+    st = opt.init(params)
+    for _ in range(10):
+        g = jax.grad(loss_fn)(params)
+        up, st = opt.update(g, st, params)
+        params = optax.apply_updates(params, up)
+    assert float(loss_fn(params)) < l0
+
+
+def test_vtln_trainer(fixtures_dir, tmp_path):
+    """VTLN: pre-net + warp layer trains end-to-end; alphas stay in
+    range; MCD sweep runs."""
+    from idiaptts_tpu.train.vtln_trainer import \
+        VTLNSpeakerAdaptionModelTrainer
+    from idiaptts_tpu.models.rnn_dyn import convert_legacy_string
+    from idiaptts_tpu.data.category import CategoryDataReader
+    from idiaptts_tpu.data.questions import QuestionLabelGen
+    from idiaptts_tpu.data.world_feat import WorldFeatLabelGen
+
+    hparams = VTLNSpeakerAdaptionModelTrainer.create_hparams()
+    hparams.num_questions = 409
+    hparams.num_coded_sps = 20
+    hparams.out_dir = str(tmp_path / "exp")
+    hparams.model_name = "vtln"
+    hparams.epochs = 2
+    hparams.batch_size_train = 3
+    hparams.learning_rate = 0.0005
+    hparams.seed = 1
+    hparams.test_set_perc = 0.0
+    hparams.val_set_perc = 0.25
+    hparams.use_best_as_final_model = False
+    hparams.warp_matrix_size = 20
+
+    trainer = VTLNSpeakerAdaptionModelTrainer(
+        hparams, ID_LIST,
+        dir_question_labels=os.path.join(fixtures_dir, "questions"),
+        dir_world_features=os.path.join(fixtures_dir, "WORLD"))
+
+    pre_net = convert_legacy_string("RNNDYN-1_RELU_64-1_FC_67", 409)
+    pre_net.input_names = ("questions",)
+    pre_net.output_names = ("pre_net_output",)
+    data_configs = trainer.default_data_reader_configs(hparams)
+    data_configs.append(CategoryDataReader.Config(
+        name="speaker_embedding",
+        get_category_fn=lambda id_name: [0.5]))
+    model_config = trainer.build_model_config(hparams, pre_net, 20)
+    trainer.init(hparams, model_config=model_config,
+                 data_reader_configs=data_configs)
+    _, train_losses = trainer.train(hparams)
+    assert train_losses[-1] < train_losses[0]
+    scores = trainer.benchmark(hparams, trainer.id_list_train[:2])
+    assert len(scores) == 4
+
+
+def test_enc_dec_monophone_trainer(fixtures_dir, tmp_path):
+    from idiaptts_tpu.train.enc_dec_trainer import \
+        EncDecMonophoneModelTrainer
+    hparams = EncDecMonophoneModelTrainer.create_hparams()
+    hparams.num_coded_sps = 20
+    hparams.out_dir = str(tmp_path / "exp")
+    hparams.model_name = "encdec"
+    hparams.epochs = 2
+    hparams.batch_size_train = 3
+    hparams.learning_rate = 0.001
+    hparams.seed = 1
+    hparams.test_set_perc = 0.0
+    hparams.val_set_perc = 0.25
+    hparams.use_best_as_final_model = False
+    hparams.label_type = "full_state_align"
+
+    trainer = EncDecMonophoneModelTrainer(
+        hparams, ID_LIST,
+        dir_phoneme_labels=os.path.join(fixtures_dir, "labels",
+                                        "label_state_align"),
+        dir_durations=os.path.join(fixtures_dir, "dur"),
+        dir_world_features=os.path.join(fixtures_dir, "WORLD"),
+        file_symbol_dict=os.path.join(fixtures_dir, "labels",
+                                      "mono_phone.list"))
+    trainer.init(hparams)
+    _, train_losses = trainer.train(hparams)
+    assert train_losses[-1] < train_losses[0]
+
+
+def test_wavenet_trainer(fixtures_dir, tmp_path):
+    from idiaptts_tpu.train.wavenet_trainer import WaveNetVocoderTrainer
+    from idiaptts_tpu.models.wavenet import WaveNetWrapper
+    hparams = WaveNetVocoderTrainer.create_hparams()
+    hparams.out_dir = str(tmp_path / "exp")
+    hparams.model_name = "wavenet"
+    hparams.epochs = 2
+    hparams.batch_size_train = 2
+    hparams.learning_rate = 0.001
+    hparams.seed = 1
+    hparams.test_set_perc = 0.0
+    hparams.val_set_perc = 0.25
+    hparams.use_best_as_final_model = False
+    hparams.max_input_train_sec = 0.2
+    hparams.num_coded_sps_cond = 20
+    hparams.num_coded_sps = 20
+
+    trainer = WaveNetVocoderTrainer(
+        hparams, ID_LIST,
+        dir_world_features=os.path.join(fixtures_dir, "WORLD"),
+        dir_audio=os.path.join(fixtures_dir, "database", "wav"))
+    model_config = WaveNetWrapper.Config(
+        input_names=("cond_features",), output_names=("pred_logits",),
+        target_name="target_quantised", out_channels=256,
+        residual_channels=16, gate_channels=32, skip_channels=16,
+        num_layers=4, num_stacks=2)
+    trainer.init(hparams, model_config=model_config)
+    _, train_losses = trainer.train(hparams)
+    assert train_losses[-1] < train_losses[0]
+
+
+def test_multidevice_data_parallel_training():
+    """Data-parallel training over the virtual 8-device CPU mesh: the
+    sharded train step produces finite loss and identical (replicated)
+    parameters on every device."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU platform")
+    import importlib
+    import __graft_entry__
+    __graft_entry__.dryrun_multichip(8)
