@@ -252,3 +252,61 @@ def _unweighted_accuracy(pred, target, data_dict, num_classes=None):
     err = jnp.stack(per_class_err).mean()
     return jnp.broadcast_to(err, target.shape + (1,)) \
         / np.prod(target.shape)
+
+
+def _gamma_kernel(theta, k=6, frame_rate=200, length=100):
+    t = np.arange(1, length + 1) / frame_rate
+    g = t ** (k - 1) * np.exp(-t / theta) / (theta ** k *
+                                             math_gamma(k))
+    norm = np.linalg.norm(g)
+    return (g / norm if norm > 0 else g).astype(np.float32)
+
+
+def math_gamma(k):
+    import math
+    return math.gamma(k)
+
+
+@NamedLoss.register("AtomLoss")
+def _atom_loss(pred, target, data_dict, thetas=(0.03, 0.06, 0.09,
+                                                0.12, 0.15), k=6,
+               frame_rate=200, kernel_length=100):
+    """Spike loss convolved with atom envelopes (AtomLoss.py:26-105
+    role): spikes are smeared by their gamma kernels before the MSE, so
+    small position errors cost little — reformulated as a causal
+    depthwise convolution per theta track."""
+    kernels = np.stack([_gamma_kernel(t, k, frame_rate, kernel_length)
+                        for t in thetas])                # (Th, L)
+    kern = jnp.asarray(kernels)[:, ::-1]
+    L = kernel_length
+
+    def envelope(x):
+        # x: (B, T, Th) -> causal conv along T per channel.
+        xt = jnp.moveaxis(x, -1, 1)                      # (B, Th, T)
+        xt = jnp.pad(xt, ((0, 0), (0, 0), (L - 1, 0)))
+        out = jax.lax.conv_general_dilated(
+            xt[:, :, None, :], kern[:, None, None, :],
+            window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            feature_group_count=len(thetas))
+        return jnp.moveaxis(out[:, :, 0, :], 1, -1)      # (B, T, Th)
+
+    num_thetas = len(thetas)
+    diff = envelope(pred[..., :num_thetas]) \
+        - envelope(target[..., :num_thetas])
+    return diff ** 2
+
+
+@NamedLoss.register("WeightedNonzeroWMSEAtomLoss")
+def _weighted_nonzero_wmse_atom(pred, target, data_dict,
+                                weight_zero=0.1, weight_non_zero=1.0,
+                                weight_vuv=1.0, vuv_index=-1):
+    """Atom variant (WeightedNonzeroWMSEAtomLoss.py:52-68): sparse-spike
+    weighting on the amplitude tracks plus a weighted VUV error on the
+    flag column."""
+    err = (pred - target) ** 2
+    is_nonzero = (jnp.abs(target) > 1e-8).astype(err.dtype)
+    weighted = err * (is_nonzero * weight_non_zero
+                      + (1 - is_nonzero) * weight_zero)
+    vuv_w = jnp.ones(pred.shape[-1]).at[vuv_index].set(weight_vuv)
+    return weighted * vuv_w

@@ -290,6 +290,20 @@ class RNNDyn(nn.Module):
         if t == "Dropout":
             return nn.Dropout(layer.dropout,
                               deterministic=not training)(x)
+        if t == "Mask":
+            # Zero padded frames explicitly (rnn_dyn Mask layer role).
+            if lengths is None:
+                return x
+            mask = (jnp.arange(x.shape[1])[None, :]
+                    < lengths[:, None]).astype(x.dtype)
+            return x * mask[..., None]
+        if t == "ApplyFunction":
+            fn = layer.extra.get("function")
+            if isinstance(fn, str):
+                fn = _NONLINS.get(fn, getattr(jnp, fn, None))
+            if fn is None:
+                raise ValueError("ApplyFunction needs a function")
+            return fn(x)
         if t == "AlwaysDropout":
             # Active at inference too (AlwaysDropout.py role).
             return nn.Dropout(layer.dropout, deterministic=False)(x)

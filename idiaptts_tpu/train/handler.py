@@ -32,6 +32,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from idiaptts_tpu.data.dataset import collate_batch
 from idiaptts_tpu.models.config import ModelConfig
+from idiaptts_tpu.train.model_handler_base import ModelHandler
 from idiaptts_tpu.train.schedulers import create_scheduler
 
 logger = logging.getLogger(__name__)
@@ -50,7 +51,7 @@ class ExponentialMovingAverage:
             lambda s, p: s * d + (1.0 - d) * p, self.shadow, params)
 
 
-class ModularModelHandler:
+class ModularModelHandler(ModelHandler):
     """Backend engine for one model."""
 
     def __init__(self):

@@ -1,0 +1,70 @@
+"""Tests for misc utils, equality helpers, registry, and new layers."""
+
+import numpy as np
+import pytest
+
+
+def test_equality_utils(tmp_path):
+    import flax
+    from idiaptts_tpu.utils.equality import (equal_checkpoint,
+                                             equal_iterable,
+                                             equal_model, tensor_pad)
+    a = {"w": np.ones((3, 2)), "b": [np.zeros(2)]}
+    b = {"w": np.ones((3, 2)), "b": [np.zeros(2)]}
+    assert equal_iterable(a, b)
+    b["w"] = b["w"] + 1
+    assert not equal_iterable(a, b)
+    assert equal_model({"l": {"k": np.ones(3)}},
+                       {"l": {"k": np.ones(3)}})
+    # Checkpoint comparison via files.
+    for name, params in [("a", a), ("c", {"w": np.ones((3, 2)),
+                                          "b": [np.zeros(2)]})]:
+        with open(tmp_path / ("params_" + name), "wb") as f:
+            f.write(flax.serialization.msgpack_serialize(
+                {"params": params}))
+    # a vs a copy with same values
+    assert equal_checkpoint(str(tmp_path), "a", str(tmp_path), "a")
+    padded = tensor_pad(np.ones((4, 2)), 6)
+    assert padded.shape == (6, 2) and padded[4:].sum() == 0
+
+
+def test_model_registry():
+    from idiaptts_tpu.models.registry import create_model_config
+    cfg = create_model_config("RNNDYN-1_RELU_8-1_FC_4", 10)
+    assert cfg.layer_configs[-1].out_dim == 4
+    wn = create_model_config("WaveNet", 10, out_dim=64)
+    assert wn.out_channels == 64
+    with pytest.raises(NotImplementedError):
+        create_model_config("NopeNet", 10)
+
+
+def test_mask_and_apply_function_layers():
+    import jax
+    import jax.numpy as jnp
+    from idiaptts_tpu.models.rnn_dyn import Config, LayerConfig, RNNDyn
+    cfg = Config(in_dim=4, layer_configs=[
+        LayerConfig("Linear", out_dim=4),
+        LayerConfig("ApplyFunction", out_dim=4, function="Tanh"),
+        LayerConfig("Mask", out_dim=4),
+    ])
+    model = RNNDyn(config=cfg)
+    x = jnp.ones((2, 6, 4))
+    lengths = jnp.array([6, 3])
+    params = model.init(jax.random.PRNGKey(0), x, lengths=lengths)
+    out = model.apply(params, x, lengths=lengths)
+    assert np.abs(np.asarray(out)).max() <= 1.0  # tanh bound
+    assert np.asarray(out)[1, 3:].sum() == 0     # masked padding
+
+
+def test_misc_utils():
+    from idiaptts_tpu.utils.misc import (get_memory_usage_mb,
+                                         log_git_hash,
+                                         ndarray_to_string,
+                                         parse_int_set,
+                                         pretty_print_nested)
+    assert parse_int_set("0,2-4") == {0, 2, 3, 4}
+    assert get_memory_usage_mb() > 10
+    assert isinstance(log_git_hash("/root/repo"), str)
+    s = pretty_print_nested({"a": np.ones(3), "b": [1, 2]})
+    assert "a" in s
+    assert "1." in ndarray_to_string(np.ones(2))
