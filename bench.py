@@ -141,13 +141,16 @@ def main():
 
     # Warmup / compile.
     wavs = label_to_wav(params, questions_b, lengths_b, f0_cont_b)
-    wavs.block_until_ready()
+    float(jnp.sum(wavs))
 
+    # Timing sync: a scalar device->host transfer per run forces the
+    # full computation (block_until_ready under-reports on the tunneled
+    # platform).
     runs = 5
     t0 = time.time()
     for _ in range(runs):
         wavs = label_to_wav(params, questions_b, lengths_b, f0_cont_b)
-        wavs.block_until_ready()
+        float(jnp.sum(wavs))
     elapsed = (time.time() - t0) / runs
 
     audio_seconds = float(lengths.sum()) * 0.005

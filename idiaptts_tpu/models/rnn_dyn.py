@@ -98,6 +98,111 @@ def _affects(emb_config, group_idx, num_groups):
             or (group_idx - num_groups) in idx_set)
 
 
+def masked_flip(x, lengths):
+    """Reverse each sequence within its valid length; padding stays at
+    the tail (packed-sequence reverse semantics)."""
+    T = x.shape[1]
+    t = jnp.arange(T)[None, :]
+    idx = jnp.where(t < lengths[:, None], lengths[:, None] - 1 - t, t)
+    return jnp.take_along_axis(x, idx[..., None], axis=1)
+
+
+class _FastLSTM(nn.Module):
+    """LSTM with the input projection hoisted out of the scan.
+
+    The x @ W_x projection for ALL timesteps is one large MXU matmul;
+    the scan body only computes the lean recurrence h @ W_h + gates —
+    roughly halving the sequential work vs a per-step full cell."""
+
+    features: int
+    unroll: int = 16
+
+    @nn.compact
+    def __call__(self, x, lengths=None, reverse=False):
+        B, T, D = x.shape
+        F = self.features
+        Wx = self.param("Wx", nn.initializers.lecun_normal(), (D, 4 * F))
+        Wh = self.param("Wh", nn.initializers.orthogonal(), (F, 4 * F))
+        b = self.param("b", nn.initializers.zeros, (4 * F,))
+        if reverse and lengths is not None:
+            x = masked_flip(x, lengths)
+        elif reverse:
+            x = x[:, ::-1]
+        x_proj = (x.astype(jnp.bfloat16) @ Wx.astype(jnp.bfloat16)
+                  ).astype(jnp.float32) + b            # (B, T, 4F)
+        Wh_b = Wh.astype(jnp.bfloat16)
+
+        def step(carry, xp_t):
+            h, c = carry
+            gates = xp_t + (h.astype(jnp.bfloat16) @ Wh_b
+                            ).astype(jnp.float32)
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            c = jax.nn.sigmoid(f + 1.0) * c \
+                + jax.nn.sigmoid(i) * jnp.tanh(g)
+            h = jax.nn.sigmoid(o) * jnp.tanh(c)
+            return (h, c), h
+
+        init = (jnp.zeros((B, F)), jnp.zeros((B, F)))
+        _, hs = jax.lax.scan(step, init, jnp.moveaxis(x_proj, 1, 0),
+                             unroll=self.unroll)
+        out = jnp.moveaxis(hs, 0, 1)
+        if reverse and lengths is not None:
+            out = masked_flip(out, lengths)
+        elif reverse:
+            out = out[:, ::-1]
+        return out
+
+
+class _BiFastLSTM(nn.Module):
+    """Both BiLSTM directions in one scan: input (2B, T, D) where the
+    second half is the (masked-)reversed sequence; per-direction
+    weights applied via a direction-indexed einsum.  Output
+    (2B, T, 2F) with each half's own direction in its feature slot."""
+
+    features: int
+    unroll: int = 16
+
+    @nn.compact
+    def __call__(self, x):
+        twoB, T, D = x.shape
+        B = twoB // 2
+        F = self.features
+        Wx = self.param("Wx", nn.initializers.lecun_normal(),
+                        (2, D, 4 * F))
+        Wh = self.param("Wh", nn.initializers.orthogonal(),
+                        (2, F, 4 * F))
+        b = self.param("b", nn.initializers.zeros, (2, 4 * F))
+        xd = x.reshape(2, B, T, D)
+        x_proj = jnp.einsum("dbtc,dcg->dbtg",
+                            xd.astype(jnp.bfloat16),
+                            Wx.astype(jnp.bfloat16)
+                            ).astype(jnp.float32) + b[:, None, None, :]
+        Wh_b = Wh.astype(jnp.bfloat16)
+
+        def step(carry, xp_t):
+            h, c = carry                         # (2, B, F)
+            rec = jnp.einsum("dbf,dfg->dbg",
+                             h.astype(jnp.bfloat16),
+                             Wh_b).astype(jnp.float32)
+            gates = xp_t + rec
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            c = jax.nn.sigmoid(f + 1.0) * c \
+                + jax.nn.sigmoid(i) * jnp.tanh(g)
+            h = jax.nn.sigmoid(o) * jnp.tanh(c)
+            return (h, c), h
+
+        init = (jnp.zeros((2, B, F)), jnp.zeros((2, B, F)))
+        _, hs = jax.lax.scan(step, init,
+                             jnp.moveaxis(x_proj, 2, 0),
+                             unroll=self.unroll)
+        out = jnp.moveaxis(hs, 0, 2)             # (2, B, T, F)
+        # Place each direction's output in its feature slot.
+        zeros = jnp.zeros_like(out)
+        fwd_part = jnp.concatenate([out[0], zeros[0]], axis=-1)
+        bwd_part = jnp.concatenate([zeros[1], out[1]], axis=-1)
+        return jnp.concatenate([fwd_part, bwd_part], axis=0)
+
+
 class _MaskedFlipRNN(nn.Module):
     """Uni/bi-directional recurrent stack with length-aware reverse.
 
@@ -131,16 +236,35 @@ class _MaskedFlipRNN(nn.Module):
     @nn.compact
     def __call__(self, x, lengths=None, training=False):
         for layer in range(self.num_layers):
-            fwd = nn.RNN(self._make_cell(layer, "fwd"),
-                         unroll=self.unroll)
-            out_f = fwd(x, seq_lengths=lengths)
-            if self.bidirectional:
-                bwd = nn.RNN(self._make_cell(layer, "bwd"), reverse=True,
-                             keep_order=True, unroll=self.unroll)
-                out_b = bwd(x, seq_lengths=lengths)
+            if self.cell_type == "LSTM" and self.bidirectional:
+                # Both directions in ONE scan: the reversed copy rides
+                # the batch axis, halving the sequential scan count.
+                x_rev = masked_flip(x, lengths) if lengths is not None \
+                    else x[:, ::-1]
+                both = jnp.concatenate([x, x_rev], axis=0)
+                out = _BiFastLSTM(self.out_dim,
+                                  name=f"bi{layer}")(both)
+                B = x.shape[0]
+                out_f = out[:B, ..., :self.out_dim]
+                out_b_rev = out[B:, ..., self.out_dim:]
+                out_b = masked_flip(out_b_rev, lengths) \
+                    if lengths is not None else out_b_rev[:, ::-1]
                 x = jnp.concatenate([out_f, out_b], axis=-1)
+            elif self.cell_type == "LSTM":
+                x = _FastLSTM(self.out_dim, name=f"fwd{layer}")(
+                    x, lengths)
             else:
-                x = out_f
+                fwd = nn.RNN(self._make_cell(layer, "fwd"),
+                             unroll=self.unroll)
+                out_f = fwd(x, seq_lengths=lengths)
+                if self.bidirectional:
+                    bwd = nn.RNN(self._make_cell(layer, "bwd"),
+                                 reverse=True, keep_order=True,
+                                 unroll=self.unroll)
+                    out_b = bwd(x, seq_lengths=lengths)
+                    x = jnp.concatenate([out_f, out_b], axis=-1)
+                else:
+                    x = out_f
             if self.dropout and layer < self.num_layers - 1:
                 x = nn.Dropout(self.dropout,
                                deterministic=not training)(x)

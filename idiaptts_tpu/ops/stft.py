@@ -62,11 +62,37 @@ def istft(spec, n_fft=1024, hop_length=256, win_length=None, length=None):
     frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * window[None, :]
     num_frames = frames.shape[0]
     total = n_fft + hop_length * (num_frames - 1)
-    offsets = jnp.arange(num_frames) * hop_length
-    idx = offsets[:, None] + jnp.arange(n_fft)[None, :]
-    raw = jnp.zeros(total).at[idx.reshape(-1)].add(frames.reshape(-1))
-    norm = jnp.zeros(total).at[idx.reshape(-1)].add(
-        jnp.broadcast_to(window[None, :] ** 2, frames.shape).reshape(-1))
+    # Restrict to the window support (frames are zero outside it when
+    # win_length < n_fft).
+    wstart = (n_fft - win_length) // 2 if win_length < n_fft else 0
+    eff = frames[:, wstart:wstart + win_length]
+    wsq = jnp.broadcast_to(
+        window[None, wstart:wstart + win_length] ** 2, eff.shape)
+    if win_length % hop_length == 0:
+        # Overlap factor k = win / hop: split each frame into k hop
+        # chunks and add k diagonally-shifted dense layouts — no
+        # scatter (scatter-add with colliding indices serialises on
+        # TPU).
+        k = win_length // hop_length
+        pad_frames = num_frames + k
+
+        def overlap_add(x):
+            chunks = x.reshape(num_frames, k, hop_length)
+            acc = jnp.zeros((pad_frames, hop_length))
+            for j in range(k):
+                acc = acc.at[j:j + num_frames].add(chunks[:, j])
+            flat = acc.reshape(-1)[:total - wstart]
+            return jnp.pad(flat, (wstart, 0))[:total]
+
+        raw = overlap_add(eff)
+        norm = overlap_add(wsq)
+    else:
+        offsets = jnp.arange(num_frames) * hop_length + wstart
+        idx = offsets[:, None] + jnp.arange(win_length)[None, :]
+        raw = jnp.zeros(total).at[idx.reshape(-1)].add(
+            eff.reshape(-1))
+        norm = jnp.zeros(total).at[idx.reshape(-1)].add(
+            wsq.reshape(-1))
     raw = raw / jnp.maximum(norm, 1e-8)
     pad = n_fft // 2
     raw = raw[pad:]
