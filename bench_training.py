@@ -1,0 +1,97 @@
+"""Secondary benchmark: acoustic-model TRAINING throughput per chip.
+
+BASELINE.md asks for acoustic frames/sec (training + inference)
+"measured and reported per chip".  ``bench.py`` is the driver-run
+headline (label->wav inference xRT); this script reports the training
+side: full jit train step (forward, masked MSE, grads, adam update) of
+the Interspeech'18 baseline acoustic architecture on bucketed LJSpeech
+fixture shapes.
+
+Prints one JSON line per metric.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from idiaptts_tpu.models.rnn_dyn import convert_legacy_string
+
+    B, T, D_in, D_out = 8, 1024, 409, 67
+    cfg = convert_legacy_string(
+        "RNNDYN-2_RELU_1024-3_BiLSTM_512-1_FC_{}".format(D_out), D_in)
+    cfg.input_names = ("questions",)
+    cfg.output_names = ("pred",)
+    model = cfg.create_model()
+    rng = jax.random.PRNGKey(0)
+    x = jnp.asarray(np.random.RandomState(0).randn(B, T, D_in),
+                    jnp.float32)
+    y = jnp.asarray(np.random.RandomState(1).randn(B, T, D_out),
+                    jnp.float32)
+    mask = jnp.ones((B, T, 1))
+    lengths = jnp.full((B,), T, jnp.int32)
+    params = model.init({"params": rng}, {"questions": x[:1]},
+                        lengths=lengths[:1], training=True)
+    optimiser = optax.adam(1e-3)
+    opt_state = optimiser.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, x, y, mask, lengths):
+        def loss_fn(p):
+            out = model.apply(p, {"questions": x}, lengths=lengths,
+                              training=False)["pred"]
+            return jnp.sum(((out - y) ** 2) * mask) / jnp.sum(mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimiser.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    params, opt_state, loss = train_step(params, opt_state, x, y, mask,
+                                         lengths)
+    float(loss)
+    runs = 5
+    t0 = time.time()
+    for _ in range(runs):
+        params, opt_state, loss = train_step(params, opt_state, x, y,
+                                             mask, lengths)
+        float(loss)
+    train_elapsed = (time.time() - t0) / runs
+    train_fps = B * T / train_elapsed
+
+    @jax.jit
+    def infer(params, x, lengths):
+        return model.apply(params, {"questions": x}, lengths=lengths,
+                           training=False)["pred"]
+
+    out = infer(params, x, lengths)
+    float(jnp.sum(out))
+    t0 = time.time()
+    for _ in range(runs):
+        out = infer(params, x, lengths)
+        float(jnp.sum(out))
+    infer_elapsed = (time.time() - t0) / runs
+    infer_fps = B * T / infer_elapsed
+
+    print(json.dumps({"metric": "acoustic training throughput",
+                      "value": round(train_fps),
+                      "unit": "frames/sec per chip",
+                      "vs_baseline": None}))
+    print(json.dumps({"metric": "acoustic inference throughput",
+                      "value": round(infer_fps),
+                      "unit": "frames/sec per chip",
+                      "vs_baseline": None}))
+
+
+if __name__ == "__main__":
+    main()

@@ -303,6 +303,7 @@ class ExtendedHParams:
             save_final_model=True,
             checkpoint_epoch_interval=1,
             use_saved_mean_std=True,
+            profiler_dir=None,
         )
         if hparams_string:
             hparams.parse(hparams_string)

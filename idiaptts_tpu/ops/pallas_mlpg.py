@@ -143,62 +143,6 @@ def mlpg_pallas(features, variances, feature_dim):
     return out[:, :D]
 
 
-@partial(jax.jit, static_argnames=("feature_dim",))
-def mlpg_pallas_batched(features_b, variances, feature_dim):
-    """Batched MLPG in ONE kernel launch: utterances ride the lane axis
-    together with the feature dims (B*D lanes), so the sequential
-    T-loop is paid once for the whole batch instead of per utterance
-    (vmap of a sequential kernel would serialise).
-
-    features_b: (B, T, 3*feature_dim); variances: (3*feature_dim,).
-    Returns (B, T, feature_dim).
-    """
-    from idiaptts_tpu.ops.mlpg import _banded_system_jnp
-
-    B, T, _ = features_b.shape
-    D = feature_dim
-    feats = features_b.reshape(B, T, 3, D)
-    var = jnp.broadcast_to(variances.reshape(3, D)[None],
-                           (T, 3, D))
-    var = var.at[0, 1:, :].set(_BOUNDARY_VAR)
-    var = var.at[-1, 1:, :].set(_BOUNDARY_VAR)
-
-    # The banded matrix is identical for every utterance (variances are
-    # shared); only b differs.
-    ab, _ = _banded_system_jnp(jnp.zeros((T, 3, D)), var)
-
-    def b_only(f):
-        _, b = _banded_system_jnp(f, var)
-        return b
-
-    b_all = jax.vmap(b_only)(feats)                  # (B, T, D)
-    # Lanes: (T, B*D).
-    b_flat = jnp.moveaxis(b_all, 0, 1).reshape(T, B * D)
-    lanes = B * D
-    lanes_pad = int(np.ceil(max(lanes, 1) / 128) * 128)
-    pad = [(0, 0), (0, lanes_pad - lanes)]
-    b_p = jnp.pad(b_flat, pad)
-    tile = jnp.tile(ab, (1, 1, B))                   # (3, T, B*D)
-    ab0_p = jnp.pad(tile[0], pad, constant_values=1.0)
-    ab1_p = jnp.pad(tile[1], pad)
-    ab2_p = jnp.pad(tile[2], pad)
-
-    out = pl.pallas_call(
-        _mlpg_kernel,
-        out_shape=jax.ShapeDtypeStruct((T, lanes_pad), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((T, lanes_pad), jnp.float32),
-            pltpu.VMEM((T, lanes_pad), jnp.float32),
-            pltpu.VMEM((T, lanes_pad), jnp.float32),
-            pltpu.VMEM((T, lanes_pad), jnp.float32),
-        ],
-    )(b_p, ab0_p, ab1_p, ab2_p)
-    out = out[:, :lanes].reshape(T, B, D)
-    return jnp.moveaxis(out, 0, 1)
-
-
 def mlpg_auto(features, variances, feature_dim):
     """Use the Pallas kernel on TPU, the scan path elsewhere."""
     from idiaptts_tpu.ops.mlpg import mlpg_jax

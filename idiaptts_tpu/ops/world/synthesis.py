@@ -65,20 +65,25 @@ def _harmonic_part(f0, f0_cont, sp_power, ap, fs, hop, max_harmonics):
     amp = 2.0 * jnp.sqrt(env_p * f0_safe[:, None] / fs)
     amp = amp * periodic_frac * below_nyq * voiced[:, None]
 
-    # Per-sample f0 (hold across unvoiced gaps keeps phase well-defined;
-    # amplitude is zero there anyway).
+    # Per-sample upsampling via reshape (no gathers): sample n in frame
+    # chunk t uses weights (1-k/hop, k/hop) against frames t, t+1.
     N = T * hop
-    sample_pos = jnp.arange(N) / hop                   # frame coordinate
-    fr = jnp.clip(sample_pos, 0, T - 1)
-    flo = jnp.floor(fr).astype(jnp.int32)
-    fhi = jnp.minimum(flo + 1, T - 1)
-    ffrac = (fr - flo)[:, None]
+    w = (jnp.arange(hop) / hop)                        # (hop,)
+    f0_next = jnp.concatenate([f0_safe[1:], f0_safe[-1:]])
+    f0_s = (f0_safe[:, None] * (1 - w)[None, :]
+            + f0_next[:, None] * w[None, :]).reshape(N)
+    # Phase accumulation in cycles, wrapped to [0, 1): sin(2*pi*h*Phi)
+    # equals sin(2*pi*h*(Phi mod 1)) for integer h, and keeping the
+    # argument small preserves f32 phase accuracy over long utterances
+    # (raw phase reaches ~1e7 rad) and avoids slow range reduction.
+    cycles = jnp.cumsum(f0_s) / fs
+    cycles = jnp.mod(cycles, 1.0)                      # (N,)
+    arg = jnp.mod(cycles[:, None] * h[None, :], 1.0)   # (N, H) in [0,1)
 
-    f0_s = f0_safe[flo] * (1 - ffrac[:, 0]) + f0_safe[fhi] * ffrac[:, 0]
-    phase = 2.0 * jnp.pi * jnp.cumsum(f0_s) / fs       # (N,)
-
-    amp_s = amp[flo] * (1 - ffrac) + amp[fhi] * ffrac  # (N, H)
-    return jnp.sum(amp_s * jnp.sin(phase[:, None] * h[None, :]), axis=1)
+    amp_next = jnp.concatenate([amp[1:], amp[-1:]], axis=0)
+    amp_s = (amp[:, None, :] * (1 - w)[None, :, None]
+             + amp_next[:, None, :] * w[None, :, None]).reshape(N, -1)
+    return jnp.sum(amp_s * jnp.sin(2.0 * jnp.pi * arg), axis=1)
 
 
 @partial(jax.jit, static_argnames=("fs", "hop"))

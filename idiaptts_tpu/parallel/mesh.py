@@ -67,3 +67,18 @@ def make_sharded_train_step(loss_fn, optimiser, mesh, axis_name="data"):
         return params, opt_state, loss
 
     return train_step
+
+
+def initialise_multihost(coordinator_address=None, num_processes=None,
+                         process_id=None):
+    """Multi-host (DCN) initialisation: call before building the mesh
+    and the same data-parallel code spans slices
+    (jax.distributed.initialize wrapper; SURVEY.md §2.8)."""
+    import jax
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes,
+                      process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+    return jax.devices()

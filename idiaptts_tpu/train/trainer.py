@@ -200,6 +200,12 @@ class ModularTrainer:
         """Epoch loop with validation, best-model checkpointing and
         final-model policy (:379-517 role)."""
         hparams.verify()
+        profiler_dir = hparams.get("profiler_dir")
+        if profiler_dir:
+            # JAX profiler trace (xplane) — the tracing/profiling hook
+            # the reference lacks (SURVEY.md §5).
+            import jax
+            jax.profiler.start_trace(profiler_dir)
         t_start = time.time()
         batch_size = hparams.get("batch_size_train", 1)
         epochs = hparams.get("epochs", 0)
@@ -274,6 +280,9 @@ class ModularTrainer:
                 pass
         if hparams.get("save_final_model") and hparams.get("out_dir"):
             self._save(hparams, last=True)
+        if profiler_dir:
+            import jax
+            jax.profiler.stop_trace()
         logger.info("Training took %.1f s", time.time() - t_start)
         return all_loss, all_loss_train
 

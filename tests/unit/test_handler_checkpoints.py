@@ -1,0 +1,95 @@
+"""Checkpoint semantics tests (mirrors
+test_ModularModelHandlerPyTorch.py save->load equality via
+equal_checkpoint, plus ignore_layers and layer_map regex renaming)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from idiaptts_tpu.data.dataset import collate_batch
+from idiaptts_tpu.hparams import ExtendedHParams
+from idiaptts_tpu.models.rnn_dyn import convert_legacy_string
+from idiaptts_tpu.train.handler import (ModularModelHandler,
+                                        _apply_layer_map,
+                                        _merge_ignored)
+from idiaptts_tpu.utils.equality import equal_checkpoint, equal_model
+
+
+def _make_handler(seed=0):
+    import numpy as np
+    cfg = convert_legacy_string("RNNDYN-1_RELU_8-1_FC_4", 6)
+    cfg.input_names = ("x",)
+    cfg.output_names = ("pred",)
+    handler = ModularModelHandler()
+    batch = collate_batch([{"x": np.ones((10, 6), np.float32)}])
+    handler.create_model(cfg, example_batch=batch)
+    hparams = ExtendedHParams.create_hparams()
+    handler.set_optimiser(hparams)
+    handler.set_scheduler(hparams)
+    return handler
+
+
+def test_save_load_roundtrip(tmp_path):
+    handler = _make_handler()
+    out_dir = handler.save_checkpoint(str(tmp_path), "model",
+                                      epoch=3, best=True,
+                                      best_loss=1.23)
+    assert os.path.isfile(os.path.join(out_dir, "config.json"))
+    assert os.path.isfile(os.path.join(out_dir, "params_e3"))
+    assert os.path.isfile(os.path.join(out_dir, "params_best"))
+    # Same weights under both suffixes.
+    assert equal_checkpoint(out_dir, "e3", out_dir, "best")
+
+    handler2 = ModularModelHandler()
+    hparams = ExtendedHParams.create_hparams()
+    best_loss, epoch, _ = handler2.load_checkpoint(str(tmp_path),
+                                                   "model", epoch=3)
+    assert epoch == 3
+    assert equal_model(handler.params, handler2.params)
+
+
+def test_load_best_restores_loss(tmp_path):
+    handler = _make_handler()
+    handler.save_checkpoint(str(tmp_path), "m", best=True,
+                            best_loss=0.5)
+    handler2 = ModularModelHandler()
+    hparams = ExtendedHParams.create_hparams()
+    handler2.set_optimiser = lambda *a: None
+    handler2.model = handler.model
+    handler2.model_config = handler.model_config
+    handler2.params = handler.params
+    handler2.optimiser = handler.optimiser
+    best_loss, _, _ = handler2.load_checkpoint(str(tmp_path), "m",
+                                               best=True)
+    assert best_loss == pytest.approx(0.5)
+
+
+def test_newest_checkpoint_scan(tmp_path):
+    import time
+    handler = _make_handler()
+    handler.save_checkpoint(str(tmp_path), "m", epoch=1)
+    time.sleep(0.05)
+    handler.save_checkpoint(str(tmp_path), "m", epoch=2)
+    handler2 = ModularModelHandler()
+    _, epoch, _ = handler2.load_checkpoint(str(tmp_path), "m")
+    assert epoch == 2
+
+
+def test_ignore_layers():
+    import flax
+    a = {"layer1": {"kernel": np.ones((2, 2))},
+         "layer2": {"kernel": np.ones((2, 2))}}
+    current = {"layer1": {"kernel": np.zeros((2, 2))},
+               "layer2": {"kernel": np.zeros((2, 2))}}
+    merged = _merge_ignored(a, current, ["layer1"])
+    assert merged["layer1"]["kernel"].sum() == 0   # kept current
+    assert merged["layer2"]["kernel"].sum() == 4   # loaded
+
+
+def test_layer_map_regex():
+    params = {"old_name": {"kernel": np.ones(2)},
+              "keep": {"bias": np.zeros(2)}}
+    renamed = _apply_layer_map(params, [("old_name", "new_name")])
+    assert "new_name" in renamed and "old_name" not in renamed
+    assert "keep" in renamed
