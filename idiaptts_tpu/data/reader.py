@@ -87,6 +87,10 @@ class DataReader:
                     self.name, len(item), len(self.output_names)))
         if self.chunk_size > 1:
             item = [self.pad(i, self._chunk_padding(i)) for i in item]
+        if self.min_frames is not None:
+            item = [self.pad(i, [(0, max(0, self.min_frames - len(i)))]
+                             + [(0, 0)] * (np.ndim(i) - 1))
+                    if len(i) < self.min_frames else i for i in item]
         out = {name: value for name, value in zip(self.output_names, item)}
         out["_id_list"] = id_name
         return out

@@ -395,13 +395,24 @@ class WorldFeatLabelGen(NpzDataReader, LabelGen):
         audio_name = os.path.join(dir_in, "{}.{}".format(file_name,
                                                          file_ext))
         raw, fs = audio_io.get_raw(audio_name, preemphasis)
+        if sp_type in ("mcep", "mgc"):
+            # Fused single-jit analysis: one device round trip.
+            from idiaptts_tpu.ops.world.extract import world_analysis
+            f0, coded_sp, bap = world_analysis(
+                raw, fs, num_coded_sps, frame_shift_ms)
+            f0 = np.array(f0)
+            f0[f0 < 20.0] = 0.0
+            ip_f0, vuv = interpolate_lin(f0)
+            with np.errstate(divide="ignore"):
+                lf0 = np.log(np.maximum(ip_f0, 1e-10)).astype(
+                    np.float32)
+            return WorldFeatLabelGen.trim_to_shortest(
+                [coded_sp.astype(np.float32), lf0,
+                 vuv.astype(np.float32), bap.astype(np.float32)]), fs
         amp_sp, lf0, vuv, bap = WorldFeatLabelGen.world_extract_features(
             raw, fs, frame_shift_ms)
         alpha = mcep_ops.fs_to_mgc_alpha(fs)
-        if sp_type in ("mcep", "mgc"):
-            coded_sp = np.asarray(mcep_ops.amp_sp_to_mcep(
-                jnp.asarray(amp_sp), num_coded_sps - 1, alpha))
-        elif sp_type == "mfbanks":
+        if sp_type == "mfbanks":
             from idiaptts_tpu.ops import stft as stft_ops
             fbank = stft_ops.mel_filterbank(fs, (amp_sp.shape[1] - 1) * 2,
                                             n_mels=num_coded_sps)
@@ -545,3 +556,34 @@ class WorldFeatLabelGen(NpzDataReader, LabelGen):
                 os.makedirs(os.path.join(dir_out, subdir), exist_ok=True)
                 extractor.save(os.path.join(dir_out, subdir, prefix[:-1]
                                             if prefix else ""))
+
+
+def main():
+    """CLI for offline extraction (WorldFeatLabelGen.main :1175-1280
+    role)."""
+    import argparse
+    parser = argparse.ArgumentParser(
+        description="Extract WORLD features on TPU.")
+    parser.add_argument("-a", "--dir_audio", required=True)
+    parser.add_argument("-o", "--dir_out", required=True)
+    parser.add_argument("-i", "--file_id_list", default=None)
+    parser.add_argument("--num_coded_sps", type=int, default=60)
+    parser.add_argument("--sp_type", default="mcep")
+    parser.add_argument("--add_deltas", action="store_true")
+    parser.add_argument("--frame_shift_ms", type=float, default=5.0)
+    args = parser.parse_args()
+    id_list = None
+    if args.file_id_list:
+        with open(args.file_id_list) as f:
+            id_list = [line.strip() for line in f if line.strip()]
+    gen = WorldFeatLabelGen(dir_labels=args.dir_out,
+                            add_deltas=args.add_deltas,
+                            num_coded_sps=args.num_coded_sps,
+                            sp_type=args.sp_type,
+                            frame_shift_ms=args.frame_shift_ms)
+    gen.gen_data(args.dir_audio, dir_out=args.dir_out,
+                 file_id_list=args.file_id_list or "", id_list=id_list)
+
+
+if __name__ == "__main__":
+    main()

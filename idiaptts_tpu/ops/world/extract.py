@@ -1,0 +1,75 @@
+"""Fused WORLD analysis: F0 + envelope + aperiodicity + mcep coding in
+ONE jit-compiled program.
+
+The composable pieces (:mod:`f0`, :mod:`cheaptrick`, :mod:`d4c`,
+:mod:`idiaptts_tpu.ops.mcep`) each work standalone, but calling them
+separately costs a host<->device round trip per stage with (T, 513)
+intermediates — expensive over a tunneled TPU.  This fused path keeps
+everything on device and only transfers the final coded features
+(T x (num_sps + 2)), giving corpus extraction throughput.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import importlib
+
+from idiaptts_tpu.ops import mcep as mcep_ops
+
+# The package __init__ re-exports same-named FUNCTIONS; import the
+# submodules explicitly.
+ct = importlib.import_module("idiaptts_tpu.ops.world.cheaptrick")
+d4c_mod = importlib.import_module("idiaptts_tpu.ops.world.d4c")
+f0_mod = importlib.import_module("idiaptts_tpu.ops.world.f0")
+
+_LENGTH_BUCKET = 16384
+
+
+@partial(jax.jit, static_argnames=("fs", "hop", "window", "fft_size",
+                                   "num_bands", "order", "alpha"))
+def _analysis_jit(raw, fs, hop, window, fft_size, num_bands, order,
+                  alpha, uv_cost, trans_w, lag_bias, score_th):
+    f0 = f0_mod._extract_f0_jit(raw, fs, hop, 71.0, 800.0, window,
+                                uv_cost, trans_w, lag_bias, score_th)
+    sp_power = ct._cheaptrick_jit(raw, f0, fs, hop, fft_size)
+    ap = d4c_mod._d4c_jit(raw, f0, fs, hop, fft_size, num_bands)
+    bap = jnp.log(jnp.clip(ap, d4c_mod._AP_FLOOR, 1.0))
+    amp = jnp.sqrt(sp_power)
+    coded_sp = mcep_ops.amp_sp_to_mcep(amp, order, alpha)
+    return f0, coded_sp, bap
+
+
+def world_analysis(raw, fs, num_coded_sps=60, frame_shift_ms=5.0,
+                   fft_size=None):
+    """Waveform -> (f0, coded_sp, bap) with one device round trip.
+
+    Pads to a length bucket (compile reuse) and trims the frame outputs
+    to the true length.
+    """
+    if fft_size is None:
+        fft_size = mcep_ops.fs_to_frame_length(fs)
+    hop = int(fs * frame_shift_ms / 1000.0)
+    window = int(2 ** np.ceil(np.log2(fs * 0.03)))
+    alpha = mcep_ops.fs_to_mgc_alpha(fs)
+    num_bands = max(1, d4c_mod.get_num_aperiodicities(fs))
+
+    raw = np.asarray(raw, dtype=np.float32)
+    num_frames = max(1, 1 + (len(raw) - 1) // hop)
+    padded_len = int(np.ceil(max(len(raw), 1) / _LENGTH_BUCKET)
+                     * _LENGTH_BUCKET)
+    padded = np.zeros(padded_len, dtype=np.float32)
+    padded[:len(raw)] = raw
+
+    f0, coded_sp, bap = _analysis_jit(
+        jnp.asarray(padded), int(fs), hop, window, int(fft_size),
+        num_bands, num_coded_sps - 1, float(alpha),
+        jnp.float32(f0_mod._UNVOICED_COST),
+        jnp.float32(f0_mod._TRANSITION_W),
+        jnp.float32(f0_mod._LAG_BIAS), jnp.float32(0.47))
+    f0 = np.asarray(f0)[:num_frames]
+    coded_sp = np.asarray(coded_sp)[:num_frames]
+    bap = np.asarray(bap)[:num_frames]
+    return f0, coded_sp, bap

@@ -167,14 +167,24 @@ class ModularTrainer:
             self.datareaders[reader.name] = reader
 
     def _setup_datasets(self, hparams):
+        """Dataset class chosen by name via hparams.dataset_type
+        (ExtendedHParams.py:190 / ModularTrainer.py:288-297 role)."""
         readers = list(self.datareaders.values())
         if not readers:
             return
-        self.dataset_train = DatareadersDataset(self.id_list_train,
-                                                readers)
-        self.dataset_val = DatareadersDataset(self.id_list_val, readers,
-                                              random_select=False)
-        self.dataset_test = DatareadersDataset(self.id_list_test, readers,
+        dataset_type = hparams.get("dataset_type",
+                                   "DatareadersDataset")
+        if dataset_type in ("WindowingDatareadersDataset",
+                            "PyTorchWindowingDatareadersDataset"):
+            from idiaptts_tpu.data.dataset import \
+                WindowingDatareadersDataset
+            cls = WindowingDatareadersDataset
+        else:
+            cls = DatareadersDataset
+        self.dataset_train = cls(self.id_list_train, readers)
+        self.dataset_val = cls(self.id_list_val, readers,
+                               random_select=False)
+        self.dataset_test = cls(self.id_list_test, readers,
                                                random_select=False)
 
     def _example_batch(self, hparams, id_list=None):

@@ -170,3 +170,41 @@ def test_phoneme_labelgen_fixtures(fixtures_dir):
     dur = PhonemeDurationLabelGen.load_sample(
         "LJ001-0001", os.path.join(fixtures_dir, "dur"))
     assert len(ids3) == len(dur)
+
+
+def test_intercross_reader_swaps_within_group():
+    from idiaptts_tpu.data.category import IntercrossDataReader
+
+    class _Cfg:
+        def __init__(self, data):
+            self.data = data
+
+        def create_reader(self):
+            return MockReader("feat", self.data)
+
+    data = {"spk1_a": np.zeros((5, 1)), "spk1_b": np.ones((5, 1)),
+            "spk2_a": 2 * np.ones((5, 1))}
+    config = IntercrossDataReader.Config(
+        _Cfg(data), list(data), grouping_regex=r"(spk\d+)_",
+        probability=1.0, seed=0)
+    reader = config.create_reader()
+    # Swaps stay within the speaker group.
+    seen = set()
+    for _ in range(20):
+        out = reader["spk1_a"]
+        seen.add(float(out["feat"][0, 0]))
+        assert out["_id_list"] == "spk1_a"
+    assert seen <= {0.0, 1.0}
+    # Single-member group never swaps outside.
+    out = reader["spk2_a"]
+    assert float(out["feat"][0, 0]) == 2.0
+
+
+def test_category_reader_one_hot():
+    from idiaptts_tpu.data.category import CategoryDataReader
+    config = CategoryDataReader.Config(
+        name="speaker", get_category_fn=lambda i: [1],
+        one_hot=True, num_categories=3)
+    reader = config.create_reader()
+    out = reader["x"]["speaker"]
+    np.testing.assert_array_equal(out, [[0.0, 1.0, 0.0]])
