@@ -318,6 +318,7 @@ class RNNDyn(nn.Module):
 
         num_groups = len(cfg.layer_configs)
         for g_idx, layer in enumerate(cfg.layer_configs):
+            use_remat = bool(layer.extra.get("remat"))
             for e_idx, emb_cfg in enumerate(cfg.emb_configs):
                 if _affects(emb_cfg, g_idx, num_groups):
                     emb = embeddings[e_idx]
@@ -329,7 +330,17 @@ class RNNDyn(nn.Module):
                                 emb[:, None],
                                 x.shape[:-1] + (emb.shape[-1],))],
                             axis=-1)
-            x = self._apply_group(g_idx, layer, x, lengths, training)
+            if use_remat:
+                # Rematerialise this group's activations in the
+                # backward pass (jax.checkpoint): trade FLOPs for HBM
+                # on long sequences.
+                x = jax.checkpoint(
+                    lambda x_, l_: self._apply_group(
+                        g_idx, layer, x_, l_, training),
+                    static_argnums=())(x, lengths)
+            else:
+                x = self._apply_group(g_idx, layer, x, lengths,
+                                      training)
         return x.astype(jnp.float32) if hasattr(x, "astype") else x
 
     def _apply_group(self, g_idx, layer, x, lengths, training):

@@ -196,14 +196,43 @@ class ModularTrainer:
 
     # -- batching ---------------------------------------------------------
     def _batches(self, dataset, id_list, batch_size, shuffle=False,
-                 seed=0):
+                 seed=0, prefetch=2):
+        """Batch iterator with background-thread prefetch: host-side
+        loading/collating overlaps device compute (the reference's
+        DataLoader-worker role, SURVEY.md §2.8 async host->device)."""
         ids = list(id_list)
         if shuffle:
             random.Random(seed).shuffle(ids)
-        for start in range(0, len(ids), batch_size):
-            chunk = ids[start:start + batch_size]
-            samples = [dataset.get_id_name(i)[0] for i in chunk]
-            yield collate_batch(samples)
+
+        def produce():
+            for start in range(0, len(ids), batch_size):
+                chunk = ids[start:start + batch_size]
+                samples = [dataset.get_id_name(i)[0] for i in chunk]
+                yield collate_batch(samples)
+
+        if prefetch and prefetch > 0:
+            import queue
+            import threading
+            q = queue.Queue(maxsize=prefetch)
+            stop = object()
+
+            def worker():
+                try:
+                    for batch in produce():
+                        q.put(batch)
+                finally:
+                    q.put(stop)
+
+            thread = threading.Thread(target=worker, daemon=True)
+            thread.start()
+            while True:
+                batch = q.get()
+                if batch is stop:
+                    break
+                yield batch
+            thread.join()
+        else:
+            yield from produce()
 
     # -- training ---------------------------------------------------------
     def train(self, hparams):

@@ -68,3 +68,34 @@ def test_misc_utils():
     s = pretty_print_nested({"a": np.ones(3), "b": [1, 2]})
     assert "a" in s
     assert "1." in ndarray_to_string(np.ones(2))
+
+
+def test_remat_layer_group():
+    """remat=True on a layer group must not change outputs/grads."""
+    import jax
+    import jax.numpy as jnp
+    from idiaptts_tpu.models.rnn_dyn import Config, LayerConfig, RNNDyn
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 8, 6),
+                    np.float32)
+
+    def build(remat):
+        cfg = Config(in_dim=6, layer_configs=[
+            LayerConfig("Linear", out_dim=16, nonlin="ReLU",
+                        remat=remat),
+            LayerConfig("Linear", out_dim=4),
+        ])
+        return RNNDyn(config=cfg)
+
+    m1, m2 = build(False), build(True)
+    p = m1.init(jax.random.PRNGKey(0), x)
+    out1 = m1.apply(p, x)
+    out2 = m2.apply(p, x)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                               atol=1e-6)
+    g1 = jax.grad(lambda p: jnp.sum(m1.apply(p, x) ** 2))(p)
+    g2 = jax.grad(lambda p: jnp.sum(m2.apply(p, x) ** 2))(p)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    flat2 = jax.tree_util.tree_leaves(g2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5)
