@@ -168,3 +168,42 @@ class AcousticModelTrainer(ModularTrainer):
         (ModularTrainer.copy_synth :1093-1119 role)."""
         return self.gen_waveform(hparams, {i: {} for i in id_list},
                                  use_org_features=True)
+
+    def gen_figure_from_output(self, id_name, sample, hparams):
+        """Acoustic figure: coded-sp spectrogram image, lf0 curves
+        (pred vs org) and VUV areas (AcousticModelTrainer.gen_figure
+        role)."""
+        from idiaptts_tpu.utils.plotter import DataPlotter
+        num_coded_sps = hparams.get("num_coded_sps", 60)
+        out_dir = hparams.get("synth_dir") or hparams.get("out_dir") \
+            or "."
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, "{}{}".format(
+            id_name, hparams.get("gen_figure_ext", ".pdf")))
+        pred = np.asarray(sample["pred_acoustic_features"])
+        sp, lf0, vuv, bap = \
+            WorldFeatLabelGen.convert_to_world_features(
+                pred, contains_deltas=False,
+                num_coded_sps=num_coded_sps)
+        with DataPlotter() as plotter:
+            plotter.set_spec_data(0, sp, label="coded sp (pred)")
+            curves = [(lf0, "pred lf0")]
+            try:
+                org = WorldFeatLabelGen.load_sample(
+                    id_name, self.dir_world_features, add_deltas=False,
+                    num_coded_sps=num_coded_sps,
+                    sp_type=hparams.get("sp_type", "mcep"))
+                _, org_lf0, org_vuv, _ = \
+                    WorldFeatLabelGen.convert_to_world_features(
+                        org, contains_deltas=False,
+                        num_coded_sps=num_coded_sps)
+                curves.append((org_lf0, "org lf0"))
+                plotter.set_area_list(1, [(org_vuv, "gray", 0.2,
+                                           "org vuv")])
+            except (FileNotFoundError, ValueError):
+                pass
+            plotter.set_data_list(1, curves)
+            plotter.set_label(1, xlabel="frames", ylabel="lf0")
+            plotter.gen_plot()
+            plotter.save_to_file(path)
+        return path

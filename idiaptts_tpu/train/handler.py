@@ -336,25 +336,36 @@ class ModularModelHandler(ModelHandler):
             params_to_save = self.ema.shadow  # EMA params in checkpoints
         state = {"params": params_to_save,
                  "batch_stats": self.batch_stats}
-        for suffix in suffixes:
-            with open(os.path.join(out_dir, "params_" + suffix),
-                      "wb") as f:
-                f.write(flax.serialization.to_bytes(state))
-            if self.opt_state is not None:
-                opt_blob = {
+        def atomic_write(path, blob, mode="wb"):
+            # Write-then-rename so a crash or concurrent reader never
+            # sees a truncated checkpoint.
+            tmp = path + ".tmp"
+            with open(tmp, mode) as f:
+                f.write(blob)
+            os.replace(tmp, path)
+
+        params_blob = flax.serialization.to_bytes(state)
+        opt_blob_bytes = None
+        if self.opt_state is not None:
+            opt_blob_bytes = flax.serialization.msgpack_serialize(
+                _to_serialisable({
                     "opt_state": flax.serialization.to_state_dict(
                         self.opt_state),
                     "best_loss": best_loss,
                     "total_steps": self.total_steps,
-                }
-                with open(os.path.join(out_dir, "optimiser_" + suffix),
-                          "wb") as f:
-                    f.write(flax.serialization.msgpack_serialize(
-                        _to_serialisable(opt_blob)))
+                }))
+        for suffix in suffixes:
+            atomic_write(os.path.join(out_dir, "params_" + suffix),
+                         params_blob)
+            if opt_blob_bytes is not None:
+                atomic_write(os.path.join(out_dir,
+                                          "optimiser_" + suffix),
+                             opt_blob_bytes)
             if self.scheduler is not None:
-                with open(os.path.join(out_dir, "scheduler_" + suffix),
-                          "w") as f:
-                    json.dump(_jsonable(self.scheduler.state_dict()), f)
+                atomic_write(
+                    os.path.join(out_dir, "scheduler_" + suffix),
+                    json.dumps(_jsonable(self.scheduler.state_dict())),
+                    mode="w")
         return out_dir
 
     def load_checkpoint(self, directory, model_name=None, epoch=None,
@@ -435,7 +446,9 @@ class ModularModelHandler(ModelHandler):
 
     @staticmethod
     def _newest_suffix(out_dir):
-        candidates = glob.glob(os.path.join(out_dir, "params_*"))
+        candidates = [p for p in glob.glob(
+            os.path.join(out_dir, "params_*"))
+            if not p.endswith(".tmp")]
         if not candidates:
             raise FileNotFoundError("No checkpoint in " + out_dir)
         newest = max(candidates, key=os.path.getctime)
