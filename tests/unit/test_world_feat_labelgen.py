@@ -172,3 +172,29 @@ def test_extracted_mcep_close_to_reference(fixtures_dir, world_dir):
                           np.float32)
     corr = np.corrcoef(lf0[:n, 0][voiced], ref_lf0[:n][voiced])[0, 1]
     assert corr > 0.8, corr
+
+
+def test_48khz_multirate_roundtrip(fixtures_dir):
+    """VCTK 48 kHz fixture: extraction (5 bap bands, 60 mcep) and
+    resynthesis work at the higher rate (the reference's wav48/VCTK
+    configuration)."""
+    import os
+    from idiaptts_tpu.ops.audio_io import get_raw
+    from idiaptts_tpu.ops.interpolation import interpolate_lin
+    from idiaptts_tpu.ops.world.extract import world_analysis
+    raw, fs = get_raw(os.path.join(fixtures_dir, "database", "wav48",
+                                   "p225_001.wav"))
+    assert fs == 48000
+    raw = raw[:fs * 2]
+    f0, coded, bap = world_analysis(raw, fs, num_coded_sps=60)
+    assert coded.shape[1] == 60
+    assert bap.shape[1] == 5          # (48k/2 - 3k) / 3k bands
+    assert 0.1 < (f0 > 0).mean() < 0.95
+    ip, vuv = interpolate_lin(np.array(f0))
+    lf0 = np.log(np.maximum(ip, 1e-10)).astype(np.float32)
+    amp = WorldFeatLabelGen.mcep_to_amp_sp(coded, fs)
+    wav2 = WorldFeatLabelGen.world_features_to_raw(amp, lf0, vuv, bap,
+                                                   fs)
+    assert len(wav2) == len(f0) * int(fs * 0.005)
+    rms = np.sqrt((wav2 ** 2).mean())
+    assert 0.005 < rms < 1.0
