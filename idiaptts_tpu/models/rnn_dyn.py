@@ -154,25 +154,27 @@ class _FastLSTM(nn.Module):
 
 
 class _BiFastLSTM(nn.Module):
-    """Both BiLSTM directions in one scan: input (2B, T, D) where the
-    second half is the (masked-)reversed sequence; per-direction
-    weights applied via a direction-indexed einsum.  Output
-    (2B, T, 2F) with each half's own direction in its feature slot."""
+    """Both BiLSTM directions in one scan.
+
+    Inputs x / x_rev each (B, T, D); they ride a NEW leading
+    direction axis of size 2 (never merged into the batch axis, which
+    stays intact for data-parallel sharding) with per-direction weights
+    applied via a direction-indexed einsum.  Returns (out_f, out_b_rev)
+    each (B, T, F)."""
 
     features: int
     unroll: int = 16
 
     @nn.compact
-    def __call__(self, x):
-        twoB, T, D = x.shape
-        B = twoB // 2
+    def __call__(self, x, x_rev):
+        B, T, D = x.shape
         F = self.features
         Wx = self.param("Wx", nn.initializers.lecun_normal(),
                         (2, D, 4 * F))
         Wh = self.param("Wh", nn.initializers.orthogonal(),
                         (2, F, 4 * F))
         b = self.param("b", nn.initializers.zeros, (2, 4 * F))
-        xd = x.reshape(2, B, T, D)
+        xd = jnp.stack([x, x_rev], axis=0)       # (2, B, T, D)
         x_proj = jnp.einsum("dbtc,dcg->dbtg",
                             xd.astype(jnp.bfloat16),
                             Wx.astype(jnp.bfloat16)
@@ -196,11 +198,7 @@ class _BiFastLSTM(nn.Module):
                              jnp.moveaxis(x_proj, 2, 0),
                              unroll=self.unroll)
         out = jnp.moveaxis(hs, 0, 2)             # (2, B, T, F)
-        # Place each direction's output in its feature slot.
-        zeros = jnp.zeros_like(out)
-        fwd_part = jnp.concatenate([out[0], zeros[0]], axis=-1)
-        bwd_part = jnp.concatenate([zeros[1], out[1]], axis=-1)
-        return jnp.concatenate([fwd_part, bwd_part], axis=0)
+        return out[0], out[1]
 
 
 class _MaskedFlipRNN(nn.Module):
@@ -237,16 +235,12 @@ class _MaskedFlipRNN(nn.Module):
     def __call__(self, x, lengths=None, training=False):
         for layer in range(self.num_layers):
             if self.cell_type == "LSTM" and self.bidirectional:
-                # Both directions in ONE scan: the reversed copy rides
-                # the batch axis, halving the sequential scan count.
+                # Both directions in ONE scan via a leading direction
+                # axis (keeps the batch axis intact for sharding).
                 x_rev = masked_flip(x, lengths) if lengths is not None \
                     else x[:, ::-1]
-                both = jnp.concatenate([x, x_rev], axis=0)
-                out = _BiFastLSTM(self.out_dim,
-                                  name=f"bi{layer}")(both)
-                B = x.shape[0]
-                out_f = out[:B, ..., :self.out_dim]
-                out_b_rev = out[B:, ..., self.out_dim:]
+                out_f, out_b_rev = _BiFastLSTM(
+                    self.out_dim, name=f"bi{layer}")(x, x_rev)
                 out_b = masked_flip(out_b_rev, lengths) \
                     if lengths is not None else out_b_rev[:, ::-1]
                 x = jnp.concatenate([out_f, out_b], axis=-1)
