@@ -30,6 +30,9 @@ class ModularTrainer:
 
     def __init__(self, hparams, id_list=None, data_reader_configs=None):
         self.hparams = hparams
+        # Startup provenance logging (ModularTrainer.py:48-49 role).
+        from idiaptts_tpu.utils.misc import log_git_hash
+        log_git_hash()
         seed = hparams.get("seed")
         if seed is not None:
             random.seed(seed)
@@ -129,6 +132,7 @@ class ModularTrainer:
                     networks_dir=hparams.get("networks_dir", "nn"))
             except FileNotFoundError:
                 pass
+        self._log_model_summary()
         return self
 
     def _setup_summary_writer(self, hparams):
@@ -146,6 +150,31 @@ class ModularTrainer:
                 "hparams", hparams.get_debug_string())
         except Exception as e:  # noqa: BLE001 - logging only
             logger.warning("TensorBoard writer unavailable: %s", e)
+
+    def _log_model_summary(self):
+        """Parameter-count summary as TB text (the torchinfo-summary
+        role, ModularTrainer.py:389-394)."""
+        if self.model_handler.params is None \
+                or self.summary_writer is None:
+            return
+        try:
+            import jax
+            lines = []
+            flat = jax.tree_util.tree_flatten_with_path(
+                self.model_handler.params)[0]
+            total = 0
+            for path, leaf in flat:
+                name = "/".join(str(p.key) for p in path
+                                if hasattr(p, "key"))
+                lines.append("{}: {} = {}".format(
+                    name, tuple(leaf.shape), leaf.size))
+                total += leaf.size
+            lines.append("TOTAL: {} parameters".format(total))
+            self.summary_writer.add_text("model_summary",
+                                         "\n".join(lines))
+            logger.info("Model has %d parameters.", total)
+        except Exception:
+            pass
 
     def _log_scalar(self, tag, value, step):
         if getattr(self, "summary_writer", None) is not None:
