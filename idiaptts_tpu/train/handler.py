@@ -173,6 +173,20 @@ class ModularModelHandler(ModelHandler):
         self.epochs_per_scheduler_step = hparams.get(
             "epochs_per_scheduler_step")
 
+    def _current_lr(self):
+        """LR for the upcoming train step.  With
+        ``iterations_per_scheduler_step=N`` the scheduler advances once
+        every N iterations (run_scheduler :927-951 semantics), so
+        step-indexed schedules are indexed by the number of scheduler
+        steps taken rather than the raw iteration count."""
+        if self.scheduler is None:
+            return self.base_lr
+        if self.iterations_per_scheduler_step:
+            return self.scheduler.lr(
+                (self.total_steps + 1)
+                // self.iterations_per_scheduler_step)
+        return self.scheduler.lr(self.total_steps + 1)
+
     def set_losses(self, loss_configs):
         self.losses = [c.create_loss() for c in loss_configs]
 
@@ -259,12 +273,7 @@ class ModularModelHandler(ModelHandler):
             data, lengths = self._batch_to_model_input(batch)
             if training:
                 self._rng, rng = jax.random.split(self._rng)
-                lr = self.scheduler.lr(self.total_steps + 1) \
-                    if self.scheduler else self.base_lr
-                if self.iterations_per_scheduler_step and self.scheduler:
-                    if (self.total_steps + 1) % \
-                            self.iterations_per_scheduler_step == 0:
-                        lr = self.scheduler.lr(self.total_steps + 1)
+                lr = self._current_lr()
                 # step/lr as traced scalars: python ints would retrace
                 # the jitted step every iteration.
                 (self.params, self.opt_state, total, loss_values,

@@ -72,6 +72,34 @@ def test_state_dict_roundtrip():
     assert s2.best == s.best
 
 
+def test_handler_iterations_per_scheduler_step():
+    """With iterations_per_scheduler_step=N the scheduler index
+    advances once per N iterations — the lr holds within a window."""
+    from idiaptts_tpu.train.handler import ModularModelHandler
+    h = ModularModelHandler.__new__(ModularModelHandler)
+    h.base_lr = 1.0
+    h.scheduler = NoamScheduler(1.0, warmup_steps=2)
+    h.iterations_per_scheduler_step = 3
+    lrs = []
+    for step in range(9):
+        h.total_steps = step
+        lrs.append(h._current_lr())
+    # Steps 0,1 -> index 0; 2..4 -> 1; 5..7 -> 2; 8 -> 3.
+    assert lrs[0] == lrs[1]
+    assert lrs[2] == lrs[3] == lrs[4]
+    assert lrs[5] == lrs[6] == lrs[7]
+    assert lrs[4] != lrs[5]
+    # Without the setting, every step advances.
+    h.iterations_per_scheduler_step = None
+    h.total_steps = 0
+    a = h._current_lr()
+    h.total_steps = 1
+    assert h._current_lr() != a
+    # No scheduler -> base lr.
+    h.scheduler = None
+    assert h._current_lr() == 1.0
+
+
 def test_ema_shadow_converges():
     import jax.numpy as jnp
     from idiaptts_tpu.train.handler import ExponentialMovingAverage
