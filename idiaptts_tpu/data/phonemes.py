@@ -34,6 +34,7 @@ class PhonemeLabelGen(NpzDataReader, LabelGen):
     """Phoneme id (or one-hot) sequences from label files."""
 
     ext_phonemes = ".lab"
+    silent_symbol = "sil"  # MFA >=2.0.0a22 leaves silence marks empty
 
     class Config(NpzDataReader.Config):
         def __init__(self, *args, file_symbol_dict=None,
@@ -72,8 +73,9 @@ class PhonemeLabelGen(NpzDataReader, LabelGen):
 
     def load(self, id_name):
         id_name = os.path.splitext(os.path.basename(id_name))[0]
-        path = os.path.join(self.directory[0],
-                            id_name + self.ext_phonemes)
+        ext = ".TextGrid" if self.label_type == "mfa" \
+            else self.ext_phonemes
+        path = os.path.join(self.directory[0], id_name + ext)
         if self.label_type == "HTK full":
             symbols = self._load_htk_full(path)
         elif self.label_type == "full_state_align":
@@ -142,9 +144,14 @@ class PhonemeLabelGen(NpzDataReader, LabelGen):
 
     @staticmethod
     def _load_mfa(path):
-        raise NotImplementedError(
-            "MFA TextGrid support requires the textgrid package; "
-            "provide HTK labels instead.")
+        """Phoneme marks from the MFA TextGrid "phones" tier; empty
+        marks become the silent symbol (PhonemeLabelGen.py:288-301
+        behaviour, via the bundled TextGrid reader instead of the
+        ``textgrid`` package)."""
+        from idiaptts_tpu.data.textgrid import read_textgrid
+        tier = read_textgrid(path).get_tier("phones")
+        return [iv.mark if iv.mark != ""
+                else PhonemeLabelGen.silent_symbol for iv in tier]
 
     @staticmethod
     def load_sample(id_name, dir_out, file_symbol_dict,
@@ -162,6 +169,7 @@ class PhonemeDurationLabelGen(NpzDataReader, LabelGen):
     dir_durations = "dur"
     num_states = 5
     min_phoneme_length = _HTK_UNITS_PER_FRAME
+    frame_length_sec = 0.005
 
     class Config(NpzDataReader.Config):
         def __init__(self, *args, load_as_matrix=False,
@@ -199,11 +207,17 @@ class PhonemeDurationLabelGen(NpzDataReader, LabelGen):
                                     id_name + self.ext_durations)
             if os.path.isfile(raw_path):
                 arr = np.fromfile(raw_path, dtype=np.float32)
-                return arr.reshape(-1, self.num_states)
+                # MFA durations are per-phone, HTK ones per-state.
+                width = 1 if self.label_type == "mfa" \
+                    else self.num_states
+                return arr.reshape(-1, width)
             lab_path = os.path.join(directory, id_name + ".lab")
             if os.path.isfile(lab_path):
                 return self._get_full_state_align_dur(
                     lab_path, self.min_phoneme_length, self.num_states)
+            tg_path = os.path.join(directory, id_name + ".TextGrid")
+            if os.path.isfile(tg_path):
+                return self._get_mfa_dur(tg_path, self.frame_length_sec)
         raise FileNotFoundError(id_name)
 
     def preprocess_sample(self, features, feature_idx=0):
@@ -236,6 +250,17 @@ class PhonemeDurationLabelGen(NpzDataReader, LabelGen):
         return dur.reshape(-1, num_states)
 
     @staticmethod
+    def _get_mfa_dur(file_path, frame_length_sec):
+        """Per-phone durations in frames from an MFA TextGrid
+        (PhonemeDurationLabelGen.py:316-325 behaviour, via the bundled
+        TextGrid reader)."""
+        from idiaptts_tpu.data.textgrid import read_textgrid
+        tier = read_textgrid(file_path).get_tier("phones")
+        dur = [(iv.maxTime - iv.minTime) / frame_length_sec
+               for iv in tier]
+        return np.array(dur, dtype=np.float32)[:, None]
+
+    @staticmethod
     def load_sample(id_name, dir_out, label_type="full_state_align"):
         config = PhonemeDurationLabelGen.Config(name="durations",
                                                 directory=dir_out,
@@ -246,9 +271,11 @@ class PhonemeDurationLabelGen(NpzDataReader, LabelGen):
     def gen_data(dir_in, dir_out=None, file_id_list="", id_list=None,
                  label_type="full_state_align", return_dict=False):
         """Extract durations for a corpus; accumulate mean/std stats."""
+        label_ext = ".TextGrid" if label_type == "mfa" else ".lab"
         if id_list is None:
             id_list = [os.path.splitext(os.path.basename(p))[0]
-                       for p in glob.glob(os.path.join(dir_in, "*.lab"))]
+                       for p in glob.glob(os.path.join(
+                           dir_in, "*" + label_ext))]
             file_id_list_name = "all"
         else:
             file_id_list_name = os.path.splitext(
@@ -257,10 +284,15 @@ class PhonemeDurationLabelGen(NpzDataReader, LabelGen):
         extractor = MeanStdDevExtractor()
         label_dict = {}
         for file_id in id_list:
-            dur = PhonemeDurationLabelGen._get_full_state_align_dur(
-                os.path.join(dir_in, file_id + ".lab"),
-                PhonemeDurationLabelGen.min_phoneme_length,
-                PhonemeDurationLabelGen.num_states)
+            if label_type == "mfa":
+                dur = PhonemeDurationLabelGen._get_mfa_dur(
+                    os.path.join(dir_in, file_id + label_ext),
+                    PhonemeDurationLabelGen.frame_length_sec)
+            else:
+                dur = PhonemeDurationLabelGen._get_full_state_align_dur(
+                    os.path.join(dir_in, file_id + label_ext),
+                    PhonemeDurationLabelGen.min_phoneme_length,
+                    PhonemeDurationLabelGen.num_states)
             extractor.add_sample(dur)
             if dir_out is not None:
                 os.makedirs(dir_out, exist_ok=True)
