@@ -436,6 +436,22 @@ class RNNDyn(nn.Module):
         if t == "AlwaysDropout":
             # Active at inference too (AlwaysDropout.py role).
             return nn.Dropout(layer.dropout, deterministic=False)(x)
+        if t == "Custom":
+            # Arbitrary user flax module in the stack
+            # (rnn_dyn/CustomWrapper.py role). extra["module"] is a
+            # module instance or zero-arg factory; modules taking
+            # (x, lengths, training) get the full context.
+            factory = layer.extra.get("module")
+            if factory is None:
+                raise ValueError("Custom layer needs "
+                                 "extra={'module': <flax module or "
+                                 "factory>}")
+            mod = factory if isinstance(factory, nn.Module) \
+                else factory()
+            try:
+                return mod(x, lengths=lengths, training=training)
+            except TypeError:
+                return mod(x)
         raise NotImplementedError("Unknown layer type " + t)
 
     class Config(ModelConfig):

@@ -99,3 +99,53 @@ def test_remat_layer_group():
     for a, b in zip(flat1, flat2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5)
+
+def test_custom_layer_in_rnn_dyn():
+    """Custom layer type embeds an arbitrary flax module in the stack
+    (rnn_dyn/CustomWrapper.py role)."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    from idiaptts_tpu.models.rnn_dyn import Config, LayerConfig, RNNDyn
+
+    class Doubler(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return x * 2.0
+
+    cfg = Config(in_dim=4, layer_configs=[
+        LayerConfig("Custom", out_dim=4, module=Doubler),
+        LayerConfig("Linear", out_dim=3),
+    ])
+    model = RNNDyn(config=cfg)
+    x = jnp.ones((2, 5, 4))
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    assert out.shape == (2, 5, 3)
+    # Missing module raises a clear error.
+    bad = RNNDyn(config=Config(in_dim=4, layer_configs=[
+        LayerConfig("Custom", out_dim=4)]))
+    import pytest
+    with pytest.raises(ValueError, match="Custom layer"):
+        bad.init(jax.random.PRNGKey(0), x)
+
+
+def test_convert_to_npz(tmp_path):
+    from idiaptts_tpu.data.convert_to_npz import convert_dir
+    from idiaptts_tpu.data.reader import NpzDataReader
+    rng = np.random.RandomState(0)
+    data = {}
+    for i in range(3):
+        arr = rng.randn(40, 5).astype(np.float32)
+        arr.tofile(str(tmp_path / ("utt%d.feat" % i)))
+        data["utt%d" % i] = arr
+    written = convert_dir(str(tmp_path), "feat", dim=5)
+    assert len(written) == 3
+    reader = NpzDataReader(NpzDataReader.Config(
+        name="feat", directory=str(tmp_path),
+        norm_type=NpzDataReader.Config.NormType.NONE))
+    np.testing.assert_allclose(reader.load("utt1"), data["utt1"])
+    # Size not divisible by dim is skipped, not crashed.
+    np.ones(7, np.float32).tofile(str(tmp_path / "bad.feat"))
+    written = convert_dir(str(tmp_path), "feat", dim=5)
+    assert not any("bad" in w for w in written) or len(written) == 3
