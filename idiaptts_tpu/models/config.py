@@ -71,8 +71,10 @@ def _encode(value):
     if callable(value) and not hasattr(value, "__dict__"):
         return {"__repr__": repr(value)}
     if hasattr(value, "__dict__"):
-        state = {"__class__": type(value).__module__ + "."
-                 + type(value).__name__}
+        # __qualname__, not __name__: nested classes like
+        # WaveNetWrapper.Config must round-trip through JSON.
+        state = {"__class__": type(value).__module__ + ":"
+                 + type(value).__qualname__}
         for key, attr in value.__dict__.items():
             if callable(attr) and not hasattr(attr, "__dict__"):
                 continue
@@ -93,8 +95,13 @@ def _decode(value):
         if "__class__" in value:
             state = dict(value)
             cls_path = state.pop("__class__")
-            module_name, cls_name = cls_path.rsplit(".", 1)
-            cls = getattr(importlib.import_module(module_name), cls_name)
+            if ":" in cls_path:                # module:Qual.Name form
+                module_name, qualname = cls_path.split(":", 1)
+            else:                              # legacy module.Name form
+                module_name, qualname = cls_path.rsplit(".", 1)
+            cls = importlib.import_module(module_name)
+            for part in qualname.split("."):
+                cls = getattr(cls, part)
             obj = cls.__new__(cls)
             for key, attr in state.items():
                 setattr(obj, key, _decode(attr))

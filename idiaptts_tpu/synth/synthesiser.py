@@ -114,11 +114,20 @@ class Synthesiser:
         vocoder = WaveNetVocoder.load(hparams.synth_vocoder_path,
                                       hparams)
         fs = hparams.get("synth_fs", 16000)
+        # Batch all utterances into ONE autoregressive scan (padded to
+        # the longest): per-step matvecs become matmuls, which is the
+        # difference between ~1x and ~10x realtime on a TPU chip.
+        ids = list(synth_output.keys())
+        conds = [np.asarray(synth_output[i], np.float32) for i in ids]
+        lengths = [len(c) for c in conds]
+        t_max = max(lengths)
+        batch = np.stack([np.pad(c, ((0, t_max - len(c)), (0, 0)))
+                          for c in conds])
+        raws = vocoder.generate(batch)
         paths = {}
-        for id_name, cond in synth_output.items():
-            raw = vocoder.generate(np.asarray(cond))
+        for id_name, raw, length in zip(ids, raws, lengths):
             path = Synthesiser._out_path(id_name, hparams)
-            audio_io.raw_to_file(path, _norm_loudness(raw), fs)
+            audio_io.raw_to_file(path, _norm_loudness(raw[:length]), fs)
             paths[id_name] = path
         return paths
 
