@@ -69,6 +69,62 @@ def make_sharded_train_step(loss_fn, optimiser, mesh, axis_name="data"):
     return train_step
 
 
+def make_2d_mesh(num_devices=None, model_parallel=2,
+                 axis_names=("data", "model")):
+    """(data, model) mesh: batch over ``data``, tensor-parallel weight
+    shards over ``model`` (ICI-adjacent axis last, per the scaling-book
+    recipe)."""
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    num = len(devices)
+    assert num % model_parallel == 0, (num, model_parallel)
+    grid = np.array(devices).reshape(num // model_parallel,
+                                     model_parallel)
+    return Mesh(grid, axis_names)
+
+
+def make_param_shardings(params, mesh, axis_name="model",
+                         min_shard_size=2):
+    """Tensor-parallel sharding rules: shard each weight's trailing
+    (output/hidden) dimension over ``axis_name`` when divisible,
+    replicate otherwise.  GSPMD propagates the activations' shardings
+    and inserts the matching ICI collectives — no hand-written
+    all-gathers."""
+    size = dict(zip(mesh.axis_names, mesh.devices.shape))[axis_name]
+
+    def rule(x):
+        x = np.asarray(x) if not hasattr(x, "shape") else x
+        if (x.ndim >= 2 and x.shape[-1] % size == 0
+                and x.shape[-1] // size >= min_shard_size):
+            return NamedSharding(
+                mesh, P(*([None] * (x.ndim - 1) + [axis_name])))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(rule, params)
+
+
+def make_tp_train_step(loss_fn, optimiser):
+    """jit a 2-D (data x model) parallel train step.
+
+    Shardings ride on the inputs: device_put the params with
+    :func:`make_param_shardings` (tensor-parallel over ``model``), build
+    the optimiser state from those sharded params (``optax.init`` via
+    ``zeros_like`` inherits each param's sharding), shard the batch over
+    ``data`` with :func:`shard_batch`.  Gradients keep the params'
+    model-axis sharding, so the optimiser update is shard-local and XLA
+    all-reduces over the data axis only.
+    """
+    @jax.jit
+    def train_step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        updates, opt_state = optimiser.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step
+
+
 def initialise_multihost(coordinator_address=None, num_processes=None,
                          process_id=None):
     """Multi-host (DCN) initialisation: call before building the mesh
