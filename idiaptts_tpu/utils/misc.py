@@ -77,6 +77,34 @@ def ndarray_to_string(array, precision=4):
                         suppress_small=True)
 
 
+def select_skip(iterable, select, skip, start_index=0):
+    """Select regions of ``select`` elements every ``select+skip``
+    steps (utils.py:225-236 semantics; the reference uses it for id
+    list splits)."""
+    return [x for i, x in enumerate(iterable)
+            if (i - start_index) % (select + skip) < select]
+
+
+def ncr(n, r):
+    """Binomial coefficient (utils.py:178-183 role)."""
+    import math
+    return math.comb(n, r)
+
+
+def local_modification_time(file_path):
+    """Local-time mtime string (utils.py:238-242 role)."""
+    from datetime import datetime, timezone
+    utc = datetime.fromtimestamp(os.path.getmtime(file_path),
+                                 timezone.utc)
+    return utc.astimezone().strftime("%Y-%m-%d %H:%M:%S")
+
+
+def pretty_print_decimal_places(value):
+    """Decimal digits of a float as a string (utils.py:299-300
+    semantics, e.g. for lr-derived file suffixes)."""
+    return str(np.format_float_positional(value).split(".")[1])
+
+
 def pretty_print_nested(obj, indent=0):
     pad = "  " * indent
     if isinstance(obj, dict):

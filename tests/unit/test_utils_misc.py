@@ -149,3 +149,16 @@ def test_convert_to_npz(tmp_path):
     np.ones(7, np.float32).tofile(str(tmp_path / "bad.feat"))
     written = convert_dir(str(tmp_path), "feat", dim=5)
     assert not any("bad" in w for w in written) or len(written) == 3
+
+def test_small_utils():
+    from idiaptts_tpu.utils.misc import (local_modification_time, ncr,
+                                         pretty_print_decimal_places,
+                                         select_skip)
+    # select 2, skip 3 pattern over 0..9 -> 0,1,5,6
+    assert select_skip(range(10), 2, 3) == [0, 1, 5, 6]
+    assert select_skip(range(10), 2, 3, start_index=1) == [1, 2, 6, 7]
+    assert ncr(5, 2) == 10
+    assert pretty_print_decimal_places(0.002) == "002"
+    import re
+    assert re.match(r"\d{4}-\d{2}-\d{2} ",
+                    local_modification_time("/root/repo/README.md"))
