@@ -7,11 +7,13 @@ TPU-first formulation: instead of WORLD's per-pitch-mark impulse
 response overlap-add (irregular, data-dependent), the voiced part is an
 additive harmonic model — per-sample phase accumulation ``phi_h[n] =
 2*pi*h*cumsum(f0)/fs`` (one cumsum; phase-coherent across frames) with
-harmonic amplitudes sampled from the spectral envelope and linearly
-upsampled from frame to sample rate — and the unvoiced part is white
-noise shaped by ``envelope * aperiodicity`` via one batched STFT
-multiply + overlap-add.  Everything is dense static-shape tensor work
-(FFTs, gathers, one cumsum) that XLA fuses on device.
+harmonic amplitudes sampled from the spectral envelope (cepstral
+expansion + Chebyshev cosine recurrence — no gathers, which dominate
+TPU time otherwise) and linearly upsampled from frame to sample rate —
+and the unvoiced part is white noise shaped by ``envelope *
+aperiodicity`` via one batched STFT multiply + overlap-add.  Everything
+is dense static-shape tensor work (FFTs, one cumsum, fused mul-adds)
+that XLA fuses on device.
 
 Amplitude calibration: for the analysis convention in
 :mod:`cheaptrick` (unit-energy window, power smoothed over ``2 f0 / 3``)
@@ -28,6 +30,63 @@ import jax.numpy as jnp
 import numpy as np
 
 from idiaptts_tpu.ops import stft as stft_ops
+
+# Degree-9 odd minimax polynomial for sin(pi*t) on [-1, 1]
+# (max error 5.9e-6 = -104 dB, inaudible).  XLA's sin on TPU spends
+# most of its time in range reduction we have already done (the phase
+# is kept in cycles in [0, 1)), so a 5-term Horner chain is ~2x faster
+# for the harmonic bank, which dominates synthesis time.
+_SIN_C1 = 3.1415284229461573
+_SIN_C3 = -5.166408786411196
+_SIN_C5 = 2.5427382100290914
+_SIN_C7 = -0.5818930905684506
+_SIN_C9 = 0.06404115475945735
+
+
+def _sin_cycles(x):
+    """sin(2*pi*x) for x in [0, 1) via sin(pi*t), t = 2x-1 in [-1, 1):
+    sin(2*pi*x) = -sin(pi*t)."""
+    t = 2.0 * x - 1.0
+    t2 = t * t
+    p = _SIN_C9
+    p = p * t2 + _SIN_C7
+    p = p * t2 + _SIN_C5
+    p = p * t2 + _SIN_C3
+    p = p * t2 + _SIN_C1
+    return -(t * p)
+
+
+def _sample_log_field(log_field, x, num_ceps=64):
+    """Evaluate a smooth log-spectral field at arbitrary frequencies
+    WITHOUT gathers (TPU gathers dominate synthesis time otherwise:
+    ~140 ms vs ~0 for the arithmetic at the bench batch size).
+
+    log_field: (T, K) over bins [0, fs/2]; x: (T, H) frequency in
+    cycles/sample in [0, 0.5].  Returns (T, H).
+
+    Method: real cepstrum of the field (one irfft), then
+    ``log_field(2*pi*x) = c0 + 2 * sum_m c_m cos(2*pi*m*x)`` evaluated
+    with the Chebyshev recurrence ``cos((m+1)t) = 2cos(t)cos(mt) -
+    cos((m-1)t)`` — one real cos total, the rest fused mul-adds.
+    Exact for fields whose cepstrum dies within ``num_ceps`` terms
+    (CheapTrick envelopes and band-interpolated aperiodicity are that
+    smooth by construction)."""
+    K = log_field.shape[1]
+    n_fft = 2 * (K - 1)
+    ceps = jnp.fft.irfft(log_field, n=n_fft, axis=1)[:, :num_ceps]
+    theta = (2.0 * jnp.pi) * x
+    cos1 = jnp.cos(theta)
+    acc = ceps[:, 0:1] + 2.0 * ceps[:, 1:2] * cos1
+
+    def body(m, carry):
+        c_prev, c_cur, acc = carry
+        c_next = 2.0 * cos1 * c_cur - c_prev
+        w = jax.lax.dynamic_slice_in_dim(ceps, m, 1, axis=1)  # (T, 1)
+        return (c_cur, c_next, acc + 2.0 * w * c_next)
+
+    _, _, acc = jax.lax.fori_loop(
+        2, num_ceps, body, (jnp.ones_like(cos1), cos1, acc))
+    return acc
 
 
 @partial(jax.jit, static_argnames=("fs", "hop", "max_harmonics"))
@@ -48,17 +107,11 @@ def _harmonic_part(f0, f0_cont, sp_power, ap, fs, hop, max_harmonics):
     harm_freq = h[None, :] * f0_safe[:, None]          # (T, H)
     below_nyq = harm_freq < (fs / 2.0 - bin_hz)
 
-    pos = jnp.clip(harm_freq / bin_hz, 0, num_bins - 1)
-    lo = jnp.floor(pos).astype(jnp.int32)
-    hi = jnp.minimum(lo + 1, num_bins - 1)
-    frac = pos - lo
-
-    def gather(x):
-        return (jnp.take_along_axis(x, lo, axis=1) * (1 - frac)
-                + jnp.take_along_axis(x, hi, axis=1) * frac)
-
-    env_p = gather(sp_power)
-    ap_h = gather(ap)
+    x = jnp.clip(harm_freq / fs, 0.0, 0.5)            # cycles/sample
+    log_env = 0.5 * jnp.log(jnp.maximum(sp_power, 1e-30))   # log amp
+    log_ap = jnp.log(jnp.maximum(ap, 1e-9))
+    env_p = jnp.exp(2.0 * _sample_log_field(log_env, x))
+    ap_h = jnp.exp(_sample_log_field(log_ap, x))
     periodic_frac = jnp.sqrt(jnp.clip(1.0 - ap_h ** 2, 0.0, 1.0))
     # Calibrated so cheaptrick re-analysis recovers sp_power (flat to
     # ±0.3 dB in the round-trip test).
@@ -83,7 +136,7 @@ def _harmonic_part(f0, f0_cont, sp_power, ap, fs, hop, max_harmonics):
     amp_next = jnp.concatenate([amp[1:], amp[-1:]], axis=0)
     amp_s = (amp[:, None, :] * (1 - w)[None, :, None]
              + amp_next[:, None, :] * w[None, :, None]).reshape(N, -1)
-    return jnp.sum(amp_s * jnp.sin(2.0 * jnp.pi * arg), axis=1)
+    return jnp.sum(amp_s * _sin_cycles(arg), axis=1)
 
 
 @partial(jax.jit, static_argnames=("fs", "hop"))
