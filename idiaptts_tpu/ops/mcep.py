@@ -94,32 +94,35 @@ def amp_sp_to_mcep_ls(amp_sp, order, alpha):
 
 
 @partial(jax.jit, static_argnames=("order", "alpha", "num_iters"))
-def amp_sp_to_mcep(amp_sp, order, alpha, num_iters=8):
+def amp_sp_to_mcep(amp_sp, order, alpha, num_iters=32):
     """Batched mel-cepstral analysis from amplitude spectra with SPTK's
     UELS criterion (``pysptk.mcep(x, order, alpha, itype=3)`` role).
 
     Minimises ``eps = mean(exp(R) - R - 1)`` with
-    ``R = log I - 2 * c @ A^T`` (I = power spectrum) by damped Newton
-    iterations — the asymmetric criterion fits spectral peaks tightly
-    like SPTK, unlike the symmetric log-LS projection.  Everything is
-    batched matmul/einsum work on the MXU: per frame the Hessian is
-    ``(order+1)^2`` from one weighted basis product.
+    ``R = log I - 2 * c @ A^T`` (I = power spectrum) by quasi-Newton
+    iterations with the FIXED Hessian at the optimum (w = 1), i.e. a
+    preconditioned gradient method: per iteration only two (T, K)@(K, M)
+    matmuls, no per-frame Hessian assembly or batched 21x21 solves
+    (those cost ~90 ms/utterance on TPU vs ~0 for this formulation;
+    32 cheap iterations land within 0.06 mcep units max / 0.001 mean of
+    the exact damped-Newton solution on real CheapTrick spectra).
+    The asymmetric criterion fits spectral peaks tightly like SPTK,
+    unlike the symmetric log-LS projection used for the init.
     """
     num_bins = amp_sp.shape[-1]
-    _, A = _bases(num_bins, order, alpha)          # (K, M)
-    A = jnp.asarray(A)
+    _, A_np = _bases(num_bins, order, alpha)       # (K, M) numpy
+    A = jnp.asarray(A_np)
+    H0_inv = jnp.asarray(np.linalg.inv(
+        4.0 * (A_np.T @ A_np) / num_bins
+        + np.eye(order + 1) * 1e-4))
     log_I = 2.0 * jnp.log(jnp.maximum(amp_sp, 1e-10))   # power, natural log
     c = amp_sp_to_mcep_ls(amp_sp, order, alpha)
-
-    eye = jnp.eye(order + 1) * 1e-4
 
     def body(_, c):
         R = log_I - 2.0 * (c @ A.T)                 # (..., K)
         w = jnp.exp(jnp.clip(R, -30.0, 30.0))
         g = -2.0 * ((w - 1.0) @ A) / num_bins       # (..., M)
-        H = 4.0 * jnp.einsum("...k,km,kn->...mn", w, A, A) / num_bins
-        delta = jnp.linalg.solve(H + eye, -g[..., None])[..., 0]
-        delta = jnp.clip(delta, -1.0, 1.0)
+        delta = jnp.clip(-(g @ H0_inv), -1.0, 1.0)
         return c + delta
 
     return jax.lax.fori_loop(0, num_iters, body, c)

@@ -31,12 +31,18 @@ def _cheaptrick_jit(raw, f0, fs, hop, fft_size):
     f0_eff = jnp.maximum(f0_eff, 3.0 * fs / fft_size)
 
     # --- pitch-adaptive masked windowing -----------------------------
+    # Gather-free framing: frame starts lie on the hop grid, so the
+    # (T, fft_size) windows are shifted SLICES of the hop-reshaped
+    # signal (large dynamic gathers dominate TPU time otherwise).
     half_max = fft_size // 2
-    padded = jnp.pad(raw, (half_max, half_max + hop * T))
-    centers = jnp.arange(T) * hop + half_max
     offs = jnp.arange(fft_size) - half_max            # [-half, half)
-    idx = centers[:, None] + offs[None, :]
-    segs = padded[idx]                                # (T, fft_size)
+    rows_per_frame = -(-fft_size // hop) + 1
+    padded = jnp.pad(raw, (half_max,
+                           rows_per_frame * hop + hop * T))
+    rows = padded[:(T + rows_per_frame) * hop].reshape(-1, hop)
+    segs = jnp.concatenate(
+        [rows[i:i + T] for i in range(rows_per_frame)],
+        axis=1)[:, :fft_size]                         # (T, fft_size)
 
     half_win = 1.5 * fs / f0_eff                      # (T,)
     t_norm = offs[None, :] / half_win[:, None]        # in [-1, 1] inside
@@ -53,36 +59,38 @@ def _cheaptrick_jit(raw, f0, fs, hop, fft_size):
     power = jnp.abs(jnp.fft.rfft(windowed, n=fft_size, axis=-1)) ** 2
 
     # --- DC correction: mirror the band below f0 ---------------------
+    # Only bins below f0 (< ~64 for speech at these fft sizes) receive
+    # the correction; gathering a narrow slab instead of all bins keeps
+    # the dynamic gather off the hot path.
     bin_hz = fs / fft_size
-    freqs = jnp.arange(num_bins) * bin_hz
-    mirror_bin = (2.0 * f0_eff[:, None] - freqs[None, :]) / bin_hz
+    K_MIRROR = min(64, num_bins)
+    freqs_m = jnp.arange(K_MIRROR) * bin_hz
+    mirror_bin = (2.0 * f0_eff[:, None] - freqs_m[None, :]) / bin_hz
     mirror_bin = jnp.clip(mirror_bin, 0, num_bins - 1)
     lo = jnp.floor(mirror_bin).astype(jnp.int32)
     hi = jnp.minimum(lo + 1, num_bins - 1)
     frac = mirror_bin - lo
     mirrored = (jnp.take_along_axis(power, lo, axis=1) * (1 - frac)
                 + jnp.take_along_axis(power, hi, axis=1) * frac)
-    below = freqs[None, :] < f0_eff[:, None]
-    power = jnp.where(below, power + mirrored, power)
+    below = freqs_m[None, :] < f0_eff[:, None]
+    power = power.at[:, :K_MIRROR].add(jnp.where(below, mirrored, 0.0))
 
     # --- rectangular smoothing of width 2 f0 / 3 ---------------------
+    # Frequency-domain convolution with a per-frame fractional-width
+    # rect == multiplying the power "cepstrum" by sinc(pi W q / n)
+    # (gather-free; the even rfft/irfft symmetry gives reflection
+    # boundary handling, equivalent to the cumsum formulation away from
+    # the edges).
     width_bins = (2.0 * f0_eff / 3.0) / bin_hz        # (T,)
-    csum = jnp.cumsum(power, axis=1)
-    csum = jnp.concatenate([jnp.zeros_like(csum[:, :1]), csum], axis=1)
-
-    def interp_csum(pos):
-        pos = jnp.clip(pos, 0.0, num_bins)
-        lo = jnp.floor(pos).astype(jnp.int32)
-        hi = jnp.minimum(lo + 1, num_bins)
-        frac = pos - lo
-        return (jnp.take_along_axis(csum, lo, axis=1) * (1 - frac)
-                + jnp.take_along_axis(csum, hi, axis=1) * frac)
-
-    bins = jnp.arange(num_bins)[None, :].astype(jnp.float32)
-    hw = width_bins[:, None] / 2.0
-    upper = interp_csum(bins + 0.5 + hw)
-    lower = interp_csum(bins + 0.5 - hw)
-    smoothed = (upper - lower) / jnp.maximum(2.0 * hw, 1e-6)
+    pq = jnp.fft.rfft(
+        jnp.concatenate([power, power[:, -2:0:-1]], axis=1), axis=1)
+    m = jnp.arange(num_bins)
+    sarg = jnp.pi * width_bins[:, None] * m[None, :] / fft_size
+    rect_mult = jnp.where(sarg > 1e-6,
+                          jnp.sin(sarg) / jnp.maximum(sarg, 1e-6), 1.0)
+    smoothed = jnp.fft.irfft(pq * rect_mult, n=fft_size,
+                             axis=1)[:, :num_bins]
+    smoothed = jnp.maximum(smoothed, 0.0)
 
     # --- quefrency liftering with spectral recovery -------------------
     # Relative spectral floor (-90 dB per frame) bounds the dynamic

@@ -68,30 +68,48 @@ def _d4c_jit(raw, f0, fs, hop, fft_size, num_bands):
 
     win = _CORR_WIN
     max_lag = 512
-    pad = win + max_lag
-    centers = jnp.arange(T) * hop
-    offs = jnp.arange(win)
-    idx0 = centers[:, None] + offs[None, :]                  # (T, win)
     lagc = jnp.minimum(lag, max_lag)
-    idx1 = idx0 + lagc[:, None]
 
+    # Gather-free framing: the frame starts lie on a regular hop grid,
+    # so (T, ext) windows are a stack of shifted SLICES of the
+    # hop-reshaped signal — large dynamic gathers dominate TPU time
+    # otherwise (same lesson as the synthesis harmonic bank).
+    rows_per_frame = -(-(win + max_lag + 2) // hop)          # ceil
+    ext = rows_per_frame * hop                               # >= 1026
+    nfft = int(2 ** np.ceil(np.log2(win + max_lag + 2 + win)))
+
+    def frame_ext(z):
+        zp = jnp.pad(z, (win // 2, ext + hop))
+        rows = zp[:(T + rows_per_frame) * hop].reshape(-1, hop)
+        return jnp.concatenate(
+            [rows[i:i + T] for i in range(rows_per_frame)],
+            axis=1)                                          # (T, ext)
+
+    # Correlation against the frame's own pitch lag, evaluated from the
+    # full FFT cross-correlation (three scalar lookups per frame instead
+    # of three (T, win) dynamic gathers):
+    #   c(L) = sum_n a[n] conj(z[n+L]) = conj(ifft(conj(fft(a)) fft(z)))
+    lag3 = (lagc[:, None] + jnp.arange(-1, 2)[None, :])      # (T, 3)
     ap = []
     for z in band_signals:
-        zp = jnp.pad(z, (win // 2, pad))
-        a = zp[idx0]
+        fr = frame_ext(z)                                    # (T, ext)
+        a = fr[:, :win]
         e0 = jnp.sum(jnp.abs(a) ** 2, axis=1)
-        best_r = jnp.zeros(T)
-        # Max over a small lag neighbourhood compensates the bulk
-        # sub-sample period error (the in-band phase spread of ±0.5
-        # sample costs < 0.5 dB; a full sample would cancel the sum).
-        for dlag in (-1, 0, 1):
-            b_seg = zp[idx1 + dlag]
-            num = jnp.abs(jnp.sum(a * jnp.conj(b_seg), axis=1))
-            e1 = jnp.sum(jnp.abs(b_seg) ** 2, axis=1)
-            r = num / jnp.sqrt(jnp.maximum(e0 * e1, 1e-20))
-            best_r = jnp.maximum(best_r, r)
-        ap_b = jnp.sqrt(jnp.clip(1.0 - best_r, _AP_FLOOR ** 2, 1.0))
-        ap.append(ap_b)
+        A = jnp.fft.fft(a, n=nfft, axis=1)
+        Z = jnp.fft.fft(fr, n=nfft, axis=1)
+        corr = jnp.abs(jnp.fft.ifft(jnp.conj(A) * Z, axis=1))
+        # Sliding lag-window energy from one prefix sum.
+        prefix = jnp.cumsum(
+            jnp.concatenate([jnp.zeros((T, 1)),
+                             jnp.abs(fr) ** 2], axis=1), axis=1)
+        num = jnp.take_along_axis(corr, lag3, axis=1)        # (T, 3)
+        e1 = (jnp.take_along_axis(prefix, lag3 + win, axis=1)
+              - jnp.take_along_axis(prefix, lag3, axis=1))
+        r = num / jnp.sqrt(jnp.maximum(e0[:, None] * e1, 1e-20))
+        # Max over the +-1 lag neighbourhood compensates the bulk
+        # sub-sample period error (a full sample would cancel the sum).
+        best_r = jnp.max(r, axis=1)
+        ap.append(jnp.sqrt(jnp.clip(1.0 - best_r, _AP_FLOOR ** 2, 1.0)))
     ap = jnp.stack(ap, axis=1)                               # (T, bands)
     # Calibration to the WORLD/D4C scale: the pitch-lag correlation
     # measure compresses into ln-ap [-1.4, 0]; an affine map in the log

@@ -69,7 +69,7 @@ def world_analysis(raw, fs, num_coded_sps=60, frame_shift_ms=5.0,
         jnp.float32(f0_mod._UNVOICED_COST),
         jnp.float32(f0_mod._TRANSITION_W),
         jnp.float32(f0_mod._LAG_BIAS), jnp.float32(0.47))
-    f0 = np.asarray(f0)[:num_frames]
-    coded_sp = np.asarray(coded_sp)[:num_frames]
-    bap = np.asarray(bap)[:num_frames]
-    return f0, coded_sp, bap
+    # ONE device->host transfer for all outputs: each np.asarray is a
+    # full round trip on a tunneled device (~35 ms each).
+    f0, coded_sp, bap = jax.device_get((f0, coded_sp, bap))
+    return (f0[:num_frames], coded_sp[:num_frames], bap[:num_frames])

@@ -42,11 +42,16 @@ def _nccf(raw, fs, hop, f0_floor, f0_ceil, window):
     max_lag = int(fs / f0_floor) + 1
     num_frames = _frame_starts(raw.shape[0], hop, window)
     seg_len = window + max_lag
-    pad = seg_len  # generous back padding
-    padded = jnp.pad(raw, (window // 2, pad))
-    idx = (jnp.arange(num_frames)[:, None] * hop
-           + jnp.arange(seg_len)[None, :])
-    segs = padded[idx]                                  # (T, seg_len)
+    # Gather-free framing: frame starts lie on the hop grid, so the
+    # (T, seg_len) windows are shifted slices of the hop-reshaped
+    # signal (dynamic gathers are the slow path on TPU).
+    rows_per_frame = -(-seg_len // hop)
+    padded = jnp.pad(raw, (window // 2,
+                           (rows_per_frame + num_frames) * hop))
+    rows = padded[:(num_frames + rows_per_frame) * hop].reshape(-1, hop)
+    segs = jnp.concatenate(
+        [rows[i:i + num_frames] for i in range(rows_per_frame)],
+        axis=1)[:, :seg_len]                            # (T, seg_len)
     segs = segs - jnp.mean(segs[:, :window], axis=1, keepdims=True)
 
     n_fft = int(2 ** np.ceil(np.log2(seg_len + window)))
