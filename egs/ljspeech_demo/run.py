@@ -1,0 +1,219 @@
+"""End-to-end LJSpeech demo recipe (the role of the reference's
+external ``idiaptts_egs_*`` recipe repos, self-contained on the
+committed 9-utterance fixture set).
+
+Stages (Kaldi-style ``--stage N`` resume):
+  1  extract WORLD features (fused TPU analysis) + norm stats
+  2  generate question labels from HTS state-aligned labels (+ C++
+     matcher if built) and phone durations
+  3  train the duration model
+  4  train the acoustic model
+  5  benchmark the acoustic model (MCD / F0-RMSE / VDE / BAP)
+  6  synthesise test utterances from labels (full TTS:
+     duration -> acoustic -> WORLD vocoder)
+
+Usage:
+  python egs/ljspeech_demo/run.py --work_dir /tmp/ljdemo [--stage 1]
+      [--epochs 8] [--fixtures /root/reference/test/integration/fixtures]
+"""
+
+import argparse
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(
+    os.path.abspath(__file__)), "..", ".."))
+
+logging.basicConfig(level=logging.INFO,
+                    format="%(asctime)s %(levelname)s %(message)s")
+logger = logging.getLogger("ljspeech_demo")
+
+NUM_SPS = 20
+NUM_QUESTIONS = 409
+
+
+def stage1_world(args, ids):
+    from idiaptts_tpu.data.world_feat import WorldFeatLabelGen
+    dir_world = os.path.join(args.work_dir, "WORLD")
+    gen = WorldFeatLabelGen(dir_labels=dir_world, add_deltas=True,
+                            num_coded_sps=NUM_SPS)
+    gen.gen_data(os.path.join(args.fixtures, "database", "wav"),
+                 dir_out=dir_world, id_list=ids)
+    logger.info("WORLD features in %s", dir_world)
+
+
+def stage2_labels(args, ids):
+    from idiaptts_tpu.data.phonemes import PhonemeDurationLabelGen
+    from idiaptts_tpu.data.questions import QuestionLabelGen
+    label_dir = os.path.join(args.fixtures, "labels",
+                             "label_state_align")
+    q_file = os.path.join(args.fixtures,
+                          "questions-en-radio_dnn_400.hed")
+    QuestionLabelGen.gen_data(
+        label_dir, q_file,
+        dir_out=os.path.join(args.work_dir, "questions"), id_list=ids)
+    PhonemeDurationLabelGen.gen_data(
+        label_dir, dir_out=os.path.join(args.work_dir, "dur"),
+        id_list=ids)
+    logger.info("questions + durations done")
+
+
+def _dur_trainer(args, ids):
+    import numpy as np
+    from idiaptts_tpu.data.phonemes import PhonemeDurationLabelGen
+    from idiaptts_tpu.data.questions import QuestionLabelGen
+    from idiaptts_tpu.data.normalisation import MinMaxExtractor
+    from idiaptts_tpu.train.duration import DurationModelTrainer
+
+    # Phone-level questions (first frame of each phone).
+    dir_q_phone = os.path.join(args.work_dir, "questions_phone")
+    if not os.path.isdir(dir_q_phone):
+        os.makedirs(dir_q_phone, exist_ok=True)
+        extractor = MinMaxExtractor()
+        for id_name in ids:
+            q = QuestionLabelGen.load_sample(
+                id_name, os.path.join(args.work_dir, "questions"),
+                num_questions=NUM_QUESTIONS)
+            dur = PhonemeDurationLabelGen.load_sample(
+                id_name, os.path.join(args.work_dir, "dur"))
+            frames = dur.sum(axis=1).astype(np.int64)
+            starts = np.minimum(np.cumsum(frames) - frames,
+                                len(q) - 1)
+            phone_q = q[starts]
+            extractor.add_sample(phone_q)
+            phone_q.astype(np.float32).tofile(
+                os.path.join(dir_q_phone, id_name + ".questions"))
+        extractor.save(os.path.join(dir_q_phone, "all"))
+
+    hparams = DurationModelTrainer.create_hparams()
+    hparams.num_questions = NUM_QUESTIONS
+    hparams.out_dir = os.path.join(args.work_dir, "dur_model")
+    hparams.model_name = "duration"
+    hparams.epochs = args.epochs
+    hparams.batch_size_train = 4
+    hparams.seed = 1
+    hparams.test_set_perc = 0.0
+    hparams.val_set_perc = 0.25
+    trainer = DurationModelTrainer(
+        hparams, ids, dir_phoneme_labels=dir_q_phone,
+        dir_durations=os.path.join(args.work_dir, "dur"))
+    return trainer, hparams
+
+
+def stage3_duration(args, ids):
+    trainer, hparams = _dur_trainer(args, ids)
+    trainer.init(hparams)
+    trainer.train(hparams)
+    logger.info("duration model trained")
+
+
+def _acoustic_trainer(args, ids):
+    from idiaptts_tpu.train.acoustic import AcousticModelTrainer
+    hparams = AcousticModelTrainer.create_hparams()
+    hparams.num_questions = NUM_QUESTIONS
+    hparams.num_coded_sps = NUM_SPS
+    hparams.out_dir = os.path.join(args.work_dir, "am")
+    hparams.model_name = "acoustic"
+    hparams.epochs = args.epochs
+    hparams.batch_size_train = 2
+    hparams.batch_size_val = 9
+    hparams.batch_size_benchmark = 9
+    hparams.seed = 1
+    hparams.test_set_perc = 0.0
+    hparams.val_set_perc = 0.25
+    hparams.synth_fs = 16000
+    trainer = AcousticModelTrainer(
+        hparams, ids,
+        dir_question_labels=os.path.join(args.work_dir, "questions"),
+        dir_world_features=os.path.join(args.work_dir, "WORLD"))
+    return trainer, hparams
+
+
+def stage4_acoustic(args, ids):
+    trainer, hparams = _acoustic_trainer(args, ids)
+    if args.small_models:
+        from idiaptts_tpu.models.rnn_dyn import convert_legacy_string
+        cfg = convert_legacy_string(
+            "RNNDYN-1_RELU_128-1_BiLSTM_64-1_FC_67", NUM_QUESTIONS)
+        cfg.input_names = ("questions",)
+        cfg.output_names = ("pred_acoustic_features",)
+        trainer.init(hparams, model_config=cfg)
+    else:
+        trainer.init(hparams)
+    trainer.train(hparams)
+    logger.info("acoustic model trained")
+
+
+def stage5_benchmark(args, ids):
+    trainer, hparams = _acoustic_trainer(args, ids)
+    if args.small_models:
+        from idiaptts_tpu.models.rnn_dyn import convert_legacy_string
+        cfg = convert_legacy_string(
+            "RNNDYN-1_RELU_128-1_BiLSTM_64-1_FC_67", NUM_QUESTIONS)
+        cfg.input_names = ("questions",)
+        cfg.output_names = ("pred_acoustic_features",)
+        trainer.init(hparams, model_config=cfg)
+    else:
+        trainer.init(hparams)
+    scores = trainer.benchmark(hparams, ids)
+    logger.info("benchmark (MCD dB, F0-RMSE Hz, VDE, BAP dB): %s",
+                scores)
+    return scores
+
+
+def stage6_synth(args, ids):
+    trainer, hparams = _acoustic_trainer(args, ids)
+    if args.small_models:
+        from idiaptts_tpu.models.rnn_dyn import convert_legacy_string
+        cfg = convert_legacy_string(
+            "RNNDYN-1_RELU_128-1_BiLSTM_64-1_FC_67", NUM_QUESTIONS)
+        cfg.input_names = ("questions",)
+        cfg.output_names = ("pred_acoustic_features",)
+        trainer.init(hparams, model_config=cfg)
+    else:
+        trainer.init(hparams)
+    hparams.synth_dir = os.path.join(args.work_dir, "synth")
+    paths = trainer.synth(hparams, ids[:2])
+    import numpy as np
+    from idiaptts_tpu.ops.audio_io import get_raw
+    for id_name, path in paths.items():
+        raw, _ = get_raw(path)
+        logger.info("synthesised %s (rms %.4f)", path,
+                    float(np.sqrt((raw ** 2).mean())))
+    logger.info("NOTE: with the smoke settings (--small_models, few "
+                "epochs, 9 utterances) the VUV head often predicts "
+                "all-unvoiced, giving a very quiet waveform; "
+                "copy-synthesis (trainer.copy_synth) and the full-size "
+                "default model at 25+ epochs produce loud speech "
+                "(README quality numbers).")
+    return paths
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--work_dir", required=True)
+    parser.add_argument("--fixtures",
+                        default="/root/reference/test/integration/"
+                                "fixtures")
+    parser.add_argument("--stage", type=int, default=1)
+    parser.add_argument("--stop_stage", type=int, default=6)
+    parser.add_argument("--epochs", type=int, default=8)
+    parser.add_argument("--small_models", action="store_true",
+                        help="small architectures for CPU smoke runs")
+    args = parser.parse_args()
+    os.makedirs(args.work_dir, exist_ok=True)
+
+    with open(os.path.join(args.fixtures, "file_id_list.txt")) as f:
+        ids = [line.strip().split("/")[-1] for line in f
+               if line.strip()]
+
+    stages = {1: stage1_world, 2: stage2_labels, 3: stage3_duration,
+              4: stage4_acoustic, 5: stage5_benchmark, 6: stage6_synth}
+    for n in range(args.stage, args.stop_stage + 1):
+        logger.info("===== stage %d =====", n)
+        stages[n](args, ids)
+
+
+if __name__ == "__main__":
+    main()
