@@ -155,7 +155,9 @@ def _generate_scan(wrapper_params, dilations, config, cond, rng,
 
     def step(carry, t):
         x_prev, buffers, rng = carry            # x_prev: (B,) int32
-        h = table[x_prev]                       # (B, R)
+        # f32 activations regardless of param dtype (params may be
+        # cast to bf16 to halve the per-step weight streaming).
+        h = table[x_prev].astype(jnp.float32)   # (B, R)
         c_t = jax.lax.dynamic_index_in_dim(cond, t, axis=1,
                                            keepdims=False)  # (B, C)
         skips = 0.0

@@ -69,6 +69,9 @@ class ModularModelHandler(ModelHandler):
         self.dim_out = None
         self.mesh = None
         self.total_steps = 0
+        # "msgpack" (single-file flax blobs) or "orbax" (directory
+        # checkpoints; saves sharded multi-chip arrays natively).
+        self.checkpoint_backend = "msgpack"
         self._train_step_fn = None
         self._eval_step_fn = None
         self._rng = jax.random.PRNGKey(42)
@@ -353,6 +356,29 @@ class ModularModelHandler(ModelHandler):
                 f.write(blob)
             os.replace(tmp, path)
 
+        if self.checkpoint_backend == "orbax":
+            import orbax.checkpoint as ocp
+            ckptr = ocp.PyTreeCheckpointer()
+            tree = {"state": flax.serialization.to_state_dict(state),
+                    "meta": {"best_loss": best_loss,
+                             "total_steps": self.total_steps}}
+            if self.opt_state is not None:
+                tree["opt_state"] = _to_serialisable(
+                    flax.serialization.to_state_dict(self.opt_state))
+            for suffix in suffixes:
+                ckptr.save(os.path.abspath(
+                    os.path.join(out_dir, "params_" + suffix)),
+                    tree, force=True)
+                if self.scheduler is not None:
+                    tmp = os.path.join(out_dir,
+                                       "scheduler_" + suffix + ".tmp")
+                    with open(tmp, "w") as f:
+                        f.write(json.dumps(_jsonable(
+                            self.scheduler.state_dict())))
+                    os.replace(tmp, os.path.join(
+                        out_dir, "scheduler_" + suffix))
+            return out_dir
+
         params_blob = flax.serialization.to_bytes(state)
         opt_blob_bytes = None
         if self.opt_state is not None:
@@ -402,14 +428,27 @@ class ModularModelHandler(ModelHandler):
             with open(config_path) as f:
                 self.model_config = ModelConfig.from_json(f.read())
             self.model = self.model_config.create_model()
-        with open(path, "rb") as f:
-            blob = f.read()
-        template = {"params": self.params,
-                    "batch_stats": self.batch_stats}
-        if self.params is None:
-            state = flax.serialization.msgpack_restore(blob)
+        orbax_tree = None
+        if os.path.isdir(path):                       # orbax directory
+            import orbax.checkpoint as ocp
+            orbax_tree = ocp.PyTreeCheckpointer().restore(
+                os.path.abspath(path))
+            raw = orbax_tree["state"]
+            if self.params is not None:
+                state = flax.serialization.from_state_dict(
+                    {"params": self.params,
+                     "batch_stats": self.batch_stats}, raw)
+            else:
+                state = raw
         else:
-            state = flax.serialization.from_bytes(template, blob)
+            with open(path, "rb") as f:
+                blob = f.read()
+            template = {"params": self.params,
+                        "batch_stats": self.batch_stats}
+            if self.params is None:
+                state = flax.serialization.msgpack_restore(blob)
+            else:
+                state = flax.serialization.from_bytes(template, blob)
         new_params = state["params"]
         if layer_map:
             new_params = _apply_layer_map(new_params, layer_map)
@@ -421,6 +460,22 @@ class ModularModelHandler(ModelHandler):
             self.batch_stats = jax.tree_util.tree_map(
                 jnp.asarray, state["batch_stats"])
         best_loss, total_epoch = None, None
+        if orbax_tree is not None:
+            meta = orbax_tree.get("meta") or {}
+            best_loss = meta.get("best_loss")
+            if best_loss is not None:
+                best_loss = float(best_loss)
+            self.total_steps = int(meta.get("total_steps", 0) or 0)
+            if load_optimiser and self.optimiser is not None \
+                    and orbax_tree.get("opt_state") is not None:
+                try:
+                    self.opt_state = flax.serialization.from_state_dict(
+                        self.optimiser.init(self.params),
+                        orbax_tree["opt_state"])
+                except (KeyError, ValueError) as e:
+                    logger.warning("Optimiser state mismatch, "
+                                   "reinitialised: %s", e)
+                    self.opt_state = self.optimiser.init(self.params)
         opt_path = os.path.join(out_dir, "optimiser_" + suffix)
         if load_optimiser and os.path.isfile(opt_path) \
                 and self.optimiser is not None:
@@ -457,7 +512,8 @@ class ModularModelHandler(ModelHandler):
     def _newest_suffix(out_dir):
         candidates = [p for p in glob.glob(
             os.path.join(out_dir, "params_*"))
-            if not p.endswith(".tmp")]
+            if not p.endswith(".tmp")
+            and "checkpoint-tmp" not in p]       # orbax in-progress dirs
         if not candidates:
             raise FileNotFoundError("No checkpoint in " + out_dir)
         newest = max(candidates, key=os.path.getctime)

@@ -120,6 +120,8 @@ class ModularTrainer:
         self.model_handler.set_scheduler(hparams)
         self.model_handler.set_losses(self.loss_configs)
         self.model_handler.set_ema(hparams)
+        self.model_handler.checkpoint_backend = hparams.get(
+            "checkpoint_backend") or "msgpack"
         if loaded and (hparams.get("load_optimiser")
                        or hparams.get("load_scheduler")):
             try:

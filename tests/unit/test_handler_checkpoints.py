@@ -93,3 +93,34 @@ def test_layer_map_regex():
     renamed = _apply_layer_map(params, [("old_name", "new_name")])
     assert "new_name" in renamed and "old_name" not in renamed
     assert "keep" in renamed
+
+def test_orbax_backend_roundtrip(tmp_path):
+    """checkpoint_backend='orbax': directory checkpoints round-trip
+    params, optimiser state, and bookkeeping."""
+    import jax
+    handler = _make_handler()
+    handler.checkpoint_backend = "orbax"
+    out_dir = handler.save_checkpoint(str(tmp_path), "model",
+                                      epoch=2, best=True,
+                                      best_loss=0.77)
+    assert os.path.isdir(os.path.join(out_dir, "params_e2"))
+    assert os.path.isdir(os.path.join(out_dir, "params_best"))
+
+    handler2 = ModularModelHandler()
+    hparams = ExtendedHParams.create_hparams()
+    handler2.checkpoint_backend = "orbax"
+    best_loss, epoch, steps = handler2.load_checkpoint(
+        str(tmp_path), "model", best=True, load_optimiser=False)
+    assert best_loss == pytest.approx(0.77)
+    leaves1 = jax.tree_util.tree_leaves(handler.params)
+    leaves2 = jax.tree_util.tree_leaves(handler2.params)
+    assert len(leaves1) == len(leaves2)
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # Optimiser restore path with a live optimiser.
+    handler2.set_optimiser(hparams)
+    handler2.load_checkpoint(str(tmp_path), "model", epoch=2,
+                             load_optimiser=True)
+    assert handler2.opt_state is not None
+    # _newest_suffix sees orbax dirs.
+    assert handler2._newest_suffix(out_dir) in ("e2", "best")
