@@ -44,11 +44,15 @@ class ExponentialMovingAverage:
     def __init__(self, params, decay=0.9999):
         self.decay = decay
         self.shadow = jax.tree_util.tree_map(jnp.copy, params)
+        # One fused jitted program instead of per-leaf eager dispatches
+        # every training step.
+        self._update = jax.jit(
+            lambda shadow, params: jax.tree_util.tree_map(
+                lambda s, p: s * decay + (1.0 - decay) * p,
+                shadow, params))
 
     def update(self, params):
-        d = self.decay
-        self.shadow = jax.tree_util.tree_map(
-            lambda s, p: s * d + (1.0 - d) * p, self.shadow, params)
+        self.shadow = self._update(self.shadow, params)
 
 
 class ModularModelHandler(ModelHandler):

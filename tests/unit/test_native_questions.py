@@ -52,3 +52,43 @@ def test_native_match_many(question_set):
     assert batch.shape == (3, 400)
     np.testing.assert_allclose(batch[0], question_set.match(labels[0]),
                                atol=1e-6)
+
+def test_native_parity_fuzzed_labels(question_set):
+    """Randomised HTS-style labels (mutated phones, numbers, and junk
+    fields) must produce identical answers from both engines."""
+    import random
+    native = question_set.native()
+    if native is None:
+        pytest.skip("native toolchain unavailable")
+    rng = random.Random(7)
+    phones = ["p", "r", "ih", "n", "t", "sil", "pau", "ax", "jh", "zh",
+              "xx", "oy", "eh", "w"]
+
+    def rand_label():
+        def ph():
+            return rng.choice(phones)
+        def num(lo=0, hi=40):
+            return str(rng.randint(lo, hi))
+        return ("{}^{}-{}+{}={}@{}_{}"
+                "/A:{}_{}_{}/B:{}-{}-{}@{}-{}&{}-{}#{}-{}${}-{}!{}-{}"
+                ";{}-{}|{}/C:{}+{}+{}/D:{}_{}/E:{}+{}@{}+{}&{}+{}#{}+{}"
+                "/F:{}_{}/G:{}_{}/H:{}={}@{}={}|{}/I:{}={}/J:{}+{}-{}"
+                ).format(
+            ph(), ph(), ph(), ph(), ph(), num(1, 9), num(1, 9),
+            num(), num(), num(),
+            num(), num(), num(), num(), num(), num(), num(), num(),
+            num(), num(), num(), num(), num(), num(), num(), ph(),
+            num(), num(), num(),
+            rng.choice(["content", "aux", "det", "0"]), num(),
+            num(), num(), num(), num(), num(), num(), num(), num(),
+            rng.choice(["content", "0"]), num(),
+            num(), num(),
+            num(), num(), num(), num(), ph(),
+            num(), num(),
+            num(), num(), num())
+
+    for _ in range(300):
+        label = "0 1 " + rand_label() + "[2]"
+        py = question_set.match(label)
+        nat = native.match(label)
+        np.testing.assert_allclose(nat, py, atol=1e-6, err_msg=label)
