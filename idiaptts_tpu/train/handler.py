@@ -233,7 +233,10 @@ class ModularModelHandler(ModelHandler):
     def _make_train_step(self):
         optimiser = self.optimiser
 
-        @jax.jit
+        # Donate params/opt_state buffers: the caller immediately
+        # replaces them, and donation lets XLA update in place instead
+        # of allocating + copying the whole parameter set every step.
+        @partial(jax.jit, donate_argnums=(0, 2))
         def train_step(params, batch_stats, opt_state, batch_data,
                        lengths, rng, step, lr):
             rngs = {"dropout": rng, "latent": rng}
