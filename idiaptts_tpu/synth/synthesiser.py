@@ -132,6 +132,85 @@ class Synthesiser:
         return paths
 
 
+    @staticmethod
+    def run_griffin_lim_on_log(synth_output, hparams, epoch=None,
+                               use_model_name=True):
+        """Log-amplitude variant (run_griffin_lim_on_log :320-322)."""
+        return Synthesiser.run_griffin_lim(
+            {k: np.exp(np.asarray(v)) for k, v in synth_output.items()},
+            hparams, epoch=epoch)
+
+    @staticmethod
+    def run_r9y9wavenet_mulaw_world_feats_synth(synth_output, hparams,
+                                                epoch=None):
+        """WaveNet vocoder conditioned on WORLD frame features
+        (run_r9y9wavenet_mulaw_world_feats_synth :204-243 role):
+        optional merlin post-filter on the coded sp, frame->sample-rate
+        upsampling of the conditioning, then the neural vocoder."""
+        from idiaptts_tpu.data.world_feat import WorldFeatLabelGen
+        from idiaptts_tpu.ops.interpolation import sample_linearly
+        fs = hparams.get("synth_fs", 16000)
+        num_coded_sps = hparams.get("num_coded_sps", 60)
+        samples_per_frame = int(fs * hparams.get("frame_shift_ms", 5.0)
+                                / 1000.0)
+        out = {}
+        for id_name, feats in synth_output.items():
+            feats = np.asarray(feats)
+            if hparams.get("do_post_filtering"):
+                sp, lf0, vuv, bap = \
+                    WorldFeatLabelGen.convert_to_world_features(
+                        feats, contains_deltas=False,
+                        num_coded_sps=num_coded_sps)
+                sp = mcep_ops.merlin_post_filter(
+                    sp, mcep_ops.fs_to_mgc_alpha(fs))
+                feats = WorldFeatLabelGen.convert_from_world_features(
+                    sp, lf0, vuv, bap)
+            out[id_name] = sample_linearly(feats, samples_per_frame)
+        return Synthesiser.run_wavenet_vocoder(out, hparams,
+                                               epoch=epoch)
+
+    @staticmethod
+    def copy_synth(hparams, file_id_list, epoch=None, feature_dir=None):
+        """Reference audio containing only the vocoder degradation
+        (Synthesiser.copy_synth :110-166): load original features
+        (plain or with deltas) and synthesise them."""
+        from idiaptts_tpu.data.world_feat import WorldFeatLabelGen
+        vocoder = hparams.get("synth_vocoder", "WORLD")
+        synth_dict = {}
+        if vocoder == "WORLD":
+            for id_name in file_id_list:
+                try:
+                    output = WorldFeatLabelGen.load_sample(
+                        id_name, feature_dir,
+                        num_coded_sps=hparams.get("num_coded_sps", 60),
+                        sp_type=hparams.get("sp_type", "mcep"))
+                except FileNotFoundError:
+                    with_deltas = WorldFeatLabelGen.load_sample(
+                        id_name, feature_dir, add_deltas=True,
+                        num_coded_sps=hparams.get("num_coded_sps", 60),
+                        sp_type=hparams.get("sp_type", "mcep"))
+                    output = \
+                        WorldFeatLabelGen.convert_from_world_features(
+                            *WorldFeatLabelGen.convert_to_world_features(
+                                with_deltas, contains_deltas=True,
+                                num_coded_sps=hparams.get(
+                                    "num_coded_sps", 60)))
+                synth_dict[id_name] = output
+            return Synthesiser.run_world_synth(
+                synth_dict, hparams, epoch=epoch, use_model_name=False)
+        if vocoder == "raw" or vocoder.startswith("r9y9wavenet") \
+                or vocoder == "wavenet":
+            from idiaptts_tpu.data.audio_gen import RawWaveformLabelGen
+            for id_name in file_id_list:
+                synth_dict[id_name] = RawWaveformLabelGen.load_sample(
+                    os.path.join(feature_dir, id_name + ".wav"),
+                    hparams.get("frame_rate_output_Hz",
+                                hparams.get("synth_fs", 16000)))
+            return Synthesiser.run_raw_synth(synth_dict, hparams,
+                                             epoch=epoch)
+        raise NotImplementedError("Unknown vocoder " + vocoder)
+
+
 def _norm_loudness(raw, peak=0.85):
     raw = np.asarray(raw, np.float32)
     max_abs = np.abs(raw).max()

@@ -371,3 +371,71 @@ def test_wavenet_vocoder_checkpoint_and_synthesiser(tmp_path):
          "uttB": rng.randn(75, 3).astype(np.float32)}, hp)
     assert len(get_raw(out["uttA"])[0]) == 120
     assert len(get_raw(out["uttB"])[0]) == 75
+
+def test_synthesiser_copy_synth_and_gl_on_log(fixtures_dir, tmp_path):
+    """Synthesiser.copy_synth (WORLD + raw paths) and
+    run_griffin_lim_on_log (Synthesiser.py:110-166, :320-322 roles)."""
+    import os
+    from idiaptts_tpu.hparams import ExtendedHParams
+    from idiaptts_tpu.ops.audio_io import get_raw
+    from idiaptts_tpu.synth.synthesiser import Synthesiser
+    hp = ExtendedHParams.create_hparams()
+    hp.num_coded_sps = 20
+    hp.sp_type = "mcep"
+    hp.synth_fs = 16000
+    hp.synth_dir = str(tmp_path)
+    paths = Synthesiser.copy_synth(
+        hp, ["LJ001-0002"], feature_dir=os.path.join(fixtures_dir,
+                                                     "WORLD"))
+    raw, fs = get_raw(paths["LJ001-0002"])
+    assert np.sqrt((raw ** 2).mean()) > 0.01
+    hp.synth_vocoder = "raw"
+    paths = Synthesiser.copy_synth(
+        hp, ["LJ001-0003"],
+        feature_dir=os.path.join(fixtures_dir, "database", "wav"))
+    assert os.path.isfile(paths["LJ001-0003"])
+    amp = np.abs(np.random.RandomState(0).randn(60, 513)) + 0.1
+    paths = Synthesiser.run_griffin_lim_on_log(
+        {"gl": np.log(amp).astype(np.float32)}, hp)
+    raw, _ = get_raw(paths["gl"])
+    assert np.isfinite(raw).all() and len(raw) > 1000
+
+
+def test_r9y9wavenet_world_feats_wrapper(tmp_path):
+    """run_r9y9wavenet_mulaw_world_feats_synth upsamples WORLD frame
+    features to sample rate and runs the neural vocoder."""
+    import flax
+    import os
+    from idiaptts_tpu.hparams import ExtendedHParams
+    from idiaptts_tpu.ops.audio_io import get_raw
+    from idiaptts_tpu.synth.synthesiser import Synthesiser
+    cfg = WaveNetWrapper.Config(
+        input_names=("cond_features",), output_names=("pred_logits",),
+        target_name="target_quantised", out_channels=32,
+        residual_channels=8, gate_channels=16, skip_channels=8,
+        num_layers=3, num_stacks=1)
+    model = cfg.create_model()
+    rng = np.random.RandomState(0)
+    data = {"cond_features": jnp.asarray(rng.randn(1, 50, 23),
+                                         jnp.float32),
+            "target_quantised": jnp.asarray(
+                rng.randint(0, 32, (1, 50, 1)).astype(np.float32))}
+    params = model.init(jax.random.PRNGKey(0), data, training=True)
+    ckpt = tmp_path / "nn"
+    ckpt.mkdir()
+    (ckpt / "config.json").write_text(cfg.to_json())
+    with open(ckpt / "params_1", "wb") as f:
+        f.write(flax.serialization.msgpack_serialize(
+            {"params": flax.core.unfreeze(params)["params"]}))
+    hp = ExtendedHParams.create_hparams()
+    hp.add_hparams(synth_vocoder_path=str(ckpt))
+    hp.do_post_filtering = True
+    hp.num_coded_sps = 20
+    hp.synth_fs = 16000
+    hp.synth_dir = str(tmp_path / "synth")
+    feats = rng.randn(12, 23).astype(np.float32)   # 12 frames, mcep+lf0+vuv+bap
+    feats[:, 21] = (feats[:, 21] > 0)
+    paths = Synthesiser.run_r9y9wavenet_mulaw_world_feats_synth(
+        {"utt": feats}, hp)
+    raw, fs = get_raw(paths["utt"])
+    assert len(raw) == 12 * 80                     # upsampled to 16 kHz
