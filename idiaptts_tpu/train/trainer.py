@@ -46,6 +46,8 @@ class ModularTrainer:
         self.loss_configs = []
         self.total_epoch = 0
         self.best_loss = np.inf
+        self.train_losses = []       # [(loss_dict, epoch)]
+        self.validation_losses = []
         self.logger = logger
         if id_list is not None:
             self._setup_id_lists(id_list, hparams)
@@ -302,6 +304,7 @@ class ModularTrainer:
                               batch_size, shuffle=True, seed=epoch_seed),
                 training=True, current_epoch=self.total_epoch)
             all_loss_train.append(train_loss)
+            self.record_train_loss(per_loss, self.total_epoch)
             logger.info("Epoch %d train loss: %f", self.total_epoch,
                         train_loss)
             self._log_scalar("loss/train", train_loss, self.total_epoch)
@@ -317,13 +320,16 @@ class ModularTrainer:
             if hparams.get("epochs_per_test", 1) > 0 and \
                     self.total_epoch % hparams.get("epochs_per_test",
                                                    1) == 0:
-                val_loss, _ = self.model_handler.process_batches(
-                    self._batches(
-                        self.dataset_val or self.dataset_train,
-                        self.id_list_val or self.id_list_train,
-                        hparams.get("batch_size_val", batch_size)),
-                    training=False)
+                val_loss, val_per_loss = self.model_handler \
+                    .process_batches(
+                        self._batches(
+                            self.dataset_val or self.dataset_train,
+                            self.id_list_val or self.id_list_train,
+                            hparams.get("batch_size_val", batch_size)),
+                        training=False)
                 all_loss.append(val_loss)
+                self.record_validation_loss(val_per_loss,
+                                            self.total_epoch)
                 logger.info("Epoch %d validation loss: %f",
                             self.total_epoch, val_loss)
                 self._log_scalar("loss/val", val_loss, self.total_epoch)
@@ -515,6 +521,166 @@ class ModularTrainer:
     @staticmethod
     def create_hparams(hparams_string=None, verbose=False):
         return ExtendedHParams.create_hparams(hparams_string, verbose)
+
+    # -- reference-surface helpers (ModularTrainer.py:119-1012) -----------
+    def sanity_check_train(self, hparams):
+        """Pre-training checks (:519-536 role)."""
+        assert self.model_handler is not None, \
+            "The init function has not been called before training."
+        hparams.verify()
+        eps = hparams.get("epochs_per_scheduler_step")
+        ept = hparams.get("epochs_per_test", 1)
+        if eps:
+            if ept > eps:
+                logger.warning("Model is validated only every %d epochs"
+                               " but scheduler runs every %d.", ept, eps)
+            if ept % eps != 0:
+                logger.warning("epochs_per_test %% "
+                               "epochs_per_scheduler_step != 0.")
+
+    @staticmethod
+    def id_list_to_str(id_list):
+        return " ".join(
+            os.path.join(os.path.split(os.path.dirname(i))[-1],
+                         os.path.splitext(os.path.basename(i))[0])
+            for i in id_list)
+
+    def log_validation_set(self):
+        if self.id_list_val:
+            logger.info("Validation set (%d): %s", len(self.id_list_val),
+                        self.id_list_to_str(sorted(self.id_list_val)))
+
+    def log_test_set(self):
+        if self.id_list_test:
+            logger.info("Test set (%d): %s", len(self.id_list_test),
+                        self.id_list_to_str(sorted(self.id_list_test)))
+
+    def log_memory(self):
+        from idiaptts_tpu.utils.misc import (get_device_memory_stats,
+                                             get_memory_usage_mb)
+        logger.info("CPU RSS: %.0f MB", get_memory_usage_mb())
+        stats = get_device_memory_stats()
+        if stats:
+            logger.info("Device memory: %s", stats)
+
+    def record_train_loss(self, loss_dict, epoch):
+        self.train_losses.append((dict(loss_dict or {}), epoch))
+
+    def record_validation_loss(self, loss_dict, epoch):
+        self.validation_losses.append((dict(loss_dict or {}), epoch))
+
+    def _get_loss_names(self):
+        for store in (self.train_losses, self.validation_losses):
+            if store:
+                return list(store[0][0].keys())
+        return None
+
+    def get_losses(self, start_epoch=-1):
+        """{loss_name: array} per split (:590-607 role)."""
+        names = self._get_loss_names()
+        if names is None:
+            return None, None
+        train = {n: np.array([d[n] for d, e in self.train_losses
+                              if e >= start_epoch and n in d])
+                 for n in names}
+        val = {n: np.array([d[n] for d, e in self.validation_losses
+                            if e >= start_epoch and n in d])
+               for n in names}
+        return train, val
+
+    def log_losses(self, start_epoch=-1):
+        losses = self.get_losses(start_epoch)
+        if losses is None or losses[0] is None:
+            return
+        train, val = losses
+        for name in train:
+            logger.info("Loss %s validation progress: %s", name,
+                        ", ".join("{:.4f}".format(v)
+                                  for v in val.get(name, [])))
+            logger.info("Loss %s train progress: %s", name,
+                        ", ".join("{:.4f}".format(v)
+                                  for v in train[name]))
+
+    def reset_best_loss(self):
+        self.best_loss = np.inf
+
+    def get_model_path(self, hparams):
+        return self._model_dir(hparams)   # out_dir/model_name/nn
+
+    def save_checkpoint(self, hparams, epoch=None, best=False,
+                        last=False):
+        return self.model_handler.save_checkpoint(
+            hparams.out_dir, hparams.model_name, epoch=epoch, best=best,
+            last=last, best_loss=self.best_loss,
+            networks_dir=hparams.get("networks_dir", "nn"))
+
+    def load_checkpoint(self, hparams, epoch=None, step=None,
+                        best=False, last=False):
+        return self.model_handler.load_checkpoint(
+            hparams.out_dir, hparams.model_name, epoch=epoch, step=step,
+            best=best, last=last,
+            networks_dir=hparams.get("networks_dir", "nn"))
+
+    def load_best_model(self, hparams):
+        best_loss, epoch, _ = self.load_checkpoint(hparams, best=True)
+        if best_loss is not None:
+            self.best_loss = best_loss
+        return best_loss, epoch
+
+    def get_dataset(self, split="train"):
+        return {"train": self.dataset_train, "val": self.dataset_val,
+                "test": self.dataset_test}[split]
+
+    def get_labels(self, reader_name, id_name):
+        return self.datareaders[reader_name].load(id_name)
+
+    def gen_output(self, hparams, id_list,
+                   post_processing_mapping=None):
+        """Forward + save post-processed outputs to
+        hparams.save_output_dir (:758-792 role); saved as npz with the
+        output name as key."""
+        mapping = post_processing_mapping \
+            or getattr(self, "post_processing_mapping", {}) or {}
+        results = self.forward(hparams, list(id_list))
+        out_dir = hparams.get("save_output_dir") \
+            or os.path.join(hparams.get("out_dir") or ".", "output")
+        os.makedirs(out_dir, exist_ok=True)
+        for id_name, sample in results.items():
+            if isinstance(sample, np.ndarray):
+                # Trainer-specific forward() may return bare arrays.
+                key = next(iter(mapping), "output")
+                np.savez(os.path.join(out_dir, id_name + ".npz"),
+                         **{key: sample})
+                continue
+            for output_name in (mapping or sample):
+                if output_name not in sample:
+                    continue
+                np.savez(os.path.join(out_dir, id_name + ".npz"),
+                         **{output_name:
+                            np.asarray(sample[output_name])})
+        return results
+
+    @staticmethod
+    def plot1d(data, path, title=""):
+        """Quick 1-D curve figure (:940-975 role)."""
+        from idiaptts_tpu.utils.plotter import DataPlotter
+        with DataPlotter() as plotter:
+            plotter.set_data_list(0, [(np.asarray(data).reshape(-1),
+                                       title or "data")])
+            plotter.gen_plot()
+            plotter.save_to_file(path)
+        return path
+
+    @staticmethod
+    def plot_specshow(spec, path, title=""):
+        """Spectrogram image figure (:976-1006 role)."""
+        from idiaptts_tpu.utils.plotter import DataPlotter
+        with DataPlotter() as plotter:
+            plotter.set_spec_data(0, np.asarray(spec),
+                                  label=title or "spec")
+            plotter.gen_plot()
+            plotter.save_to_file(path)
+        return path
 def _without_match_length(reader):
     """Shallow copy of a reader with match_length cleared (partners may
     be absent in input-only datasets)."""

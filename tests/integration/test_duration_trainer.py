@@ -119,3 +119,55 @@ def test_duration_resume_checkpoint(prepared_dirs, tmp_path):
     assert trainer2.model_handler.params is not None
     trainer2.train(hparams)
     assert trainer2.model_handler.total_steps > 0
+
+def test_reference_surface_helpers(prepared_dirs, tmp_path):
+    """ModularTrainer compatibility helpers: loss recording/logging,
+    checkpoint delegates, plots, gen_output (ModularTrainer.py:119-1012
+    roles)."""
+    dir_questions, dir_dur = prepared_dirs
+    hparams = DurationModelTrainer.create_hparams()
+    hparams.num_questions = 409
+    hparams.out_dir = str(tmp_path / "exp")
+    hparams.model_name = "helpers"
+    hparams.epochs = 2
+    hparams.batch_size_train = 4
+    hparams.seed = 3
+    hparams.test_set_perc = 0.0
+    hparams.val_set_perc = 0.34
+    trainer = DurationModelTrainer(hparams, ID_LIST,
+                                   dir_phoneme_labels=dir_questions,
+                                   dir_durations=dir_dur)
+    trainer.init(hparams)
+    trainer.sanity_check_train(hparams)
+    trainer.log_validation_set()
+    trainer.log_test_set()
+    trainer.log_memory()
+    trainer.train(hparams)
+    # Loss records filled during training.
+    train, val = trainer.get_losses()
+    assert train and all(len(v) == 2 for v in train.values())
+    assert val and all(len(v) >= 1 for v in val.values())
+    trainer.log_losses()
+    # Checkpoint delegates.
+    trainer.save_checkpoint(hparams, epoch=99)
+    best_loss, _ = trainer.load_best_model(hparams)
+    assert best_loss is not None
+    trainer.reset_best_loss()
+    assert trainer.best_loss == np.inf
+    assert os.path.isdir(trainer.get_model_path(hparams))
+    # Data access.
+    assert trainer.get_dataset("train") is not None
+    assert trainer.get_labels("questions", ID_LIST[0]).shape[1] == 409
+    # gen_output writes npz files.
+    out = trainer.gen_output(hparams, ID_LIST[:2])
+    assert len(out) == 2
+    import glob
+    hparams.add_hparams(save_output_dir=None)
+    files = glob.glob(os.path.join(hparams.out_dir, "output", "*.npz"))
+    assert len(files) == 2
+    # Plots.
+    p1 = trainer.plot1d(np.sin(np.linspace(0, 7, 100)),
+                        str(tmp_path / "curve.pdf"))
+    p2 = trainer.plot_specshow(np.random.rand(50, 20),
+                               str(tmp_path / "spec.pdf"))
+    assert os.path.isfile(p1) and os.path.isfile(p2)
