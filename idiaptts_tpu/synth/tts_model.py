@@ -30,6 +30,37 @@ _FRAME_NS = 50000
 class TTSModel:
 
     @staticmethod
+    def create_hparams(hparams_string=None, verbose=False):
+        """Combined duration+acoustic hparams plus the full-TTS keys
+        (TTSModel.create_hparams :31-57 role)."""
+        from idiaptts_tpu.train.acoustic import AcousticModelTrainer
+        from idiaptts_tpu.train.duration import DurationModelTrainer
+        hparams = AcousticModelTrainer.create_hparams(hparams_string,
+                                                      verbose=False)
+        hparams_dur = DurationModelTrainer.create_hparams(
+            hparams_string, verbose=False)
+        hparams.override_from_hparam(hparams_dur)
+        hparams.add_hparams(
+            front_end=None,
+            front_end_cmd=None,
+            front_end_accent=None,
+            festival_dir=None,
+            file_symbol_dict=None,
+            num_phoneme_states=None,
+            duration_labels_dir=None,
+            duration_norm_file_name=None,
+            duration_model=None,
+            question_labels_norm_file=None,
+            world_features_dir=None,
+            acoustic_model=None,
+            synth_load_org_lf0=False,
+            synth_load_org_vuv=False,
+            synth_load_org_bap=False)
+        if verbose:
+            logger.info(hparams.get_debug_string())
+        return hparams
+
+    @staticmethod
     def run_front_end(hparams, input_strings, out_dir):
         """Text -> HTS full labels via the configured front-end command
         (Festival makeLabels.sh in the reference, TTSModel.py:88-98)."""
