@@ -349,6 +349,13 @@ class QuestionLabelGen(NpzDataReader, LabelGen):
 
     # -- phoneme identification utilities --------------------------------
     @staticmethod
+    def get_HTK_label_timings_ms(htk_label):
+        """Start/end time of one HTK label line in ms
+        (QuestionLabelGen.py:205-214)."""
+        parts = htk_label.split()
+        return [int(parts[0]) / 1000, int(parts[1]) / 1000]
+
+    @staticmethod
     def questions_to_phoneme_indices(questions, phoneme_indices):
         """Frame-level questions -> phoneme index per frame using the
         question columns that one-hot-identify the current phoneme
