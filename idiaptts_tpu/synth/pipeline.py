@@ -1,0 +1,156 @@
+"""Fused batched label->waveform synthesis pipeline.
+
+The production-serving path: acoustic model forward, optional
+denormalisation, MLPG trajectory smoothing (banded system factorised
+ONCE per length bucket), mcep decode, and WORLD harmonic+noise
+synthesis — compiled as ONE jit program per bucket, so a batch of
+utterances costs a single device round trip.  `bench.py` measures this
+path at several hundred times real time per chip.
+
+Role: the composition that the reference performs across
+``ModularTrainer.synth`` -> ``WorldFeatLabelGen.postprocess_sample`` ->
+``Synthesiser.run_world_synth`` (each stage a host round trip there).
+"""
+
+import numpy as np
+
+from idiaptts_tpu.ops import mcep as mcep_ops
+
+
+class FusedAcousticPipeline:
+    """questions (B, T, D) -> waveforms (B, T*hop) in one program.
+
+    Args:
+      model_apply: callable ``(questions_b, lengths_b) -> (B, T, C)``
+        producing cmp-ordered features ``[sp(3*D)|lf0(3)|vuv|bap(3*N)]``.
+      variances: per-stream MLPG variances — dict with keys ``sp``
+        (3*D,), ``lf0`` (3,), ``bap`` (3*num_bap,).
+      mean/scale: optional denormalisation applied to the model output
+        before MLPG (cmp ordering).
+      num_coded_sps: mcep order + 1 (D).
+      fs, frame_shift_ms: synthesis rate.
+    """
+
+    def __init__(self, model_apply, variances, num_coded_sps, fs=16000,
+                 frame_shift_ms=5.0, num_bap=1, mean=None, scale=None,
+                 max_harmonics=112, bucket=256, num_bins=513):
+        import jax
+        import jax.numpy as jnp
+        from idiaptts_tpu.ops.mlpg import mlpg_factorise, mlpg_solve
+        from idiaptts_tpu.ops.world.d4c import decode_aperiodicity
+        from idiaptts_tpu.ops.world.synthesis import (_harmonic_part,
+                                                      _noise_part)
+
+        self._jax = jax
+        self._jnp = jnp
+        self.model_apply = model_apply
+        self.num_coded_sps = int(num_coded_sps)
+        self.num_bap = int(num_bap)
+        self.fs = int(fs)
+        self.hop = int(fs * frame_shift_ms / 1000.0)
+        self.bucket = int(bucket)
+        self._factor_cache = {}
+        self._mlpg_factorise = mlpg_factorise
+        D = self.num_coded_sps
+        NB = self.num_bap
+        # cmp order -> MLPG fused order [statics | deltas | ddeltas].
+        var_sp = np.asarray(variances["sp"], np.float32)
+        var_lf0 = np.asarray(variances["lf0"], np.float32)
+        var_bap = np.asarray(variances["bap"], np.float32)
+        self._perm_var = jnp.asarray(np.concatenate([
+            var_sp[:D], var_lf0[:1], var_bap[:NB],
+            var_sp[D:2 * D], var_lf0[1:2], var_bap[NB:2 * NB],
+            var_sp[2 * D:], var_lf0[2:], var_bap[2 * NB:]]))
+        self._mean = None if mean is None else jnp.asarray(mean,
+                                                           jnp.float32)
+        self._scale = None if scale is None else jnp.asarray(
+            scale, jnp.float32)
+        alpha = mcep_ops.fs_to_mgc_alpha(fs)
+        F = D + 1 + NB  # fused MLPG feature dim
+
+        def run(params, questions_b, lengths_b, f0_cont_b, factors,
+                tau, key):
+            out = model_apply(params, questions_b, lengths_b)
+            if self._mean is not None:
+                out = out * self._scale + self._mean
+            sp_blk = out[..., :3 * D]
+            lf0_blk = out[..., 3 * D:3 * D + 3]
+            vuv_b = out[..., 3 * D + 3] > 0.5
+            bap_blk = out[..., 3 * D + 4:]
+            fused = jnp.concatenate([
+                sp_blk[..., :D], lf0_blk[..., :1], bap_blk[..., :NB],
+                sp_blk[..., D:2 * D], lf0_blk[..., 1:2],
+                bap_blk[..., NB:2 * NB],
+                sp_blk[..., 2 * D:], lf0_blk[..., 2:],
+                bap_blk[..., 2 * NB:]], axis=-1)
+            smoothed = mlpg_solve(fused, factors, tau, F)
+
+            def per_utt(sm, vuv, f0_cont):
+                coded = sm[:, :D]
+                lf0 = sm[:, D]
+                bap = sm[:, D + 1:D + 1 + NB]
+                amp = mcep_ops.mcep_to_amp_sp(coded, num_bins, alpha)
+                sp_power = amp ** 2
+                f0 = jnp.where(vuv, jnp.exp(lf0), 0.0)
+                ap = decode_aperiodicity(bap, num_bins, fs)
+                harm = _harmonic_part(f0, f0_cont, sp_power, ap, fs,
+                                      self.hop, max_harmonics)
+                noise = _noise_part(f0, sp_power, ap, fs, self.hop, key)
+                return harm + noise
+
+            return jax.vmap(per_utt)(smoothed, vuv_b, f0_cont_b)
+
+        self._run = jax.jit(run)
+
+    def _default_f0_cont(self, B, T):
+        key = (B, T)
+        cache = getattr(self, "_f0_cont_cache", None)
+        if cache is None:
+            cache = self._f0_cont_cache = {}
+        if key not in cache:
+            cache[key] = self._jnp.full((B, T), 150.0,
+                                        self._jnp.float32)
+        return cache[key]
+
+    def _factors_for(self, T):
+        if T not in self._factor_cache:
+            self._factor_cache[T] = self._mlpg_factorise(
+                self._perm_var, self.num_coded_sps + 1 + self.num_bap,
+                T)
+        return self._factor_cache[T]
+
+    def __call__(self, params, questions, lengths=None, f0_cont=None,
+                 seed=0, device_output=False):
+        """questions: list of (T_i, D) arrays or one (B, T, D) array.
+        Returns a list of (T_i * hop,) float32 waveforms trimmed to the
+        true lengths — or, with ``device_output``, the untrimmed
+        (B, T*hop) device array (skips the device->host transfer; use
+        when the consumer is another device computation)."""
+        jnp = self._jnp
+        if isinstance(questions, (list, tuple)):
+            lengths = np.array([len(q) for q in questions], np.int32)
+            T = int(np.ceil(max(lengths) / self.bucket) * self.bucket)
+            batch = np.zeros((len(questions), T, questions[0].shape[-1]),
+                             np.float32)
+            for i, q in enumerate(questions):
+                batch[i, :len(q)] = q
+        else:
+            # Device arrays pass through untouched (np.asarray would
+            # force a device->host round trip).
+            batch = questions if hasattr(questions, "devices") \
+                else np.asarray(questions, np.float32)
+            T = batch.shape[1]
+            if lengths is None:
+                lengths = np.full(batch.shape[0], T, np.int32)
+        factors, tau = self._factors_for(T)
+        if f0_cont is None:
+            f0_cont = self._default_f0_cont(batch.shape[0], T)
+        key = self._jax.random.PRNGKey(seed)
+        wavs = self._run(params, jnp.asarray(batch),
+                         jnp.asarray(lengths), jnp.asarray(f0_cont),
+                         factors, tau, key)
+        if device_output:
+            return wavs
+        wavs = np.asarray(wavs)
+        return [wavs[i, :int(l) * self.hop]
+                for i, l in enumerate(lengths)]

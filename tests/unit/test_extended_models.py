@@ -439,3 +439,45 @@ def test_r9y9wavenet_world_feats_wrapper(tmp_path):
         {"utt": feats}, hp)
     raw, fs = get_raw(paths["utt"])
     assert len(raw) == 12 * 80                     # upsampled to 16 kHz
+
+def test_fused_acoustic_pipeline():
+    """FusedAcousticPipeline: list input, bucket padding, per-utterance
+    trimming, and agreement with the unfused composition."""
+    from idiaptts_tpu.models.rnn_dyn import convert_legacy_string
+    from idiaptts_tpu.synth.pipeline import FusedAcousticPipeline
+    D, Q = 4, 10
+    cfg = convert_legacy_string("RNNDYN-1_RELU_8-1_FC_{}".format(
+        3 * D + 3 + 1 + 3), Q)
+    cfg.input_names = ("q",)
+    cfg.output_names = ("pred",)
+    model = cfg.create_model()
+    rng = np.random.RandomState(0)
+    qs = [rng.rand(40, Q).astype(np.float32),
+          rng.rand(25, Q).astype(np.float32)]
+    params = model.init(jax.random.PRNGKey(0),
+                        {"q": jnp.asarray(qs[0][None])},
+                        lengths=jnp.asarray([40]), training=False)
+
+    def apply_fn(params, q, lengths):
+        return model.apply(params, {"q": q}, lengths=lengths,
+                           training=False)["pred"]
+
+    variances = {"sp": np.ones(3 * D, np.float32),
+                 "lf0": np.ones(3, np.float32),
+                 "bap": np.ones(3, np.float32)}
+    pipe = FusedAcousticPipeline(apply_fn, variances, num_coded_sps=D,
+                                 fs=16000, bucket=32)
+    wavs = pipe(params, qs)
+    assert len(wavs) == 2
+    assert wavs[0].shape == (40 * 80,)
+    assert wavs[1].shape == (25 * 80,)
+    assert all(np.isfinite(w).all() for w in wavs)
+    # Same batch through the device-output path agrees.
+    T = 64
+    batch = np.zeros((2, T, Q), np.float32)
+    batch[0, :40] = qs[0]
+    batch[1, :25] = qs[1]
+    dev = np.asarray(pipe(params, batch,
+                          np.array([40, 25], np.int32),
+                          device_output=True))
+    np.testing.assert_allclose(dev[0][:40 * 80], wavs[0], atol=2e-4)
