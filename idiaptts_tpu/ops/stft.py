@@ -109,8 +109,11 @@ def hz_to_mel(freq):
     min_log_hz = 1000.0
     min_log_mel = (min_log_hz - f_min) / f_sp
     logstep = np.log(6.4) / 27.0
+    # Guard the log for freq=0 entries (taken from the linear branch).
+    safe = np.maximum(freq, 1e-10)
     return np.where(freq >= min_log_hz,
-                    min_log_mel + np.log(freq / min_log_hz) / logstep, mel)
+                    min_log_mel + np.log(safe / min_log_hz) / logstep,
+                    mel)
 
 
 def mel_to_hz(mel):
