@@ -225,3 +225,49 @@ class ForcedAligner:
                       "w") as f:
                 f.write("\n".join(lines) + "\n")
         return dir_out
+
+
+def main():
+    """Corpus forced-alignment CLI (force_align.py role): wavs + mono
+    phone labels -> HTK state-aligned labels.
+
+    Mono label format per utterance (``<id>.lab`` in --dir_mono): one
+    phone per line, optionally preceded by HTK start/end times.
+    """
+    import argparse
+    import glob
+    logging.basicConfig(level=logging.INFO)
+    parser = argparse.ArgumentParser(description=main.__doc__)
+    parser.add_argument("-w", "--dir_wav", required=True)
+    parser.add_argument("-m", "--dir_mono", required=True,
+                        help="mono phone labels (<id>.lab)")
+    parser.add_argument("-o", "--dir_out", required=True)
+    parser.add_argument("--num_iterations", type=int, default=4)
+    parser.add_argument("--id_list", default=None)
+    args = parser.parse_args()
+
+    if args.id_list:
+        with open(args.id_list) as f:
+            ids = [line.strip().split("/")[-1] for line in f
+                   if line.strip()]
+    else:
+        ids = sorted(os.path.splitext(os.path.basename(p))[0]
+                     for p in glob.glob(os.path.join(args.dir_mono,
+                                                     "*.lab")))
+    utterances = {}
+    for id_name in ids:
+        with open(os.path.join(args.dir_mono, id_name + ".lab")) as f:
+            utterances[id_name] = [line.split()[-1]
+                                   for line in f if line.strip()]
+    phone_list = sorted({p for seq in utterances.values() for p in seq})
+    logging.info("Training monophone HMMs: %d utterances, %d phones",
+                 len(utterances), len(phone_list))
+    aligner = ForcedAligner(phone_list)
+    aligner.train(args.dir_wav, utterances,
+                  num_iterations=args.num_iterations)
+    aligner.align_corpus(args.dir_out)
+    logging.info("State-aligned labels written to %s", args.dir_out)
+
+
+if __name__ == "__main__":
+    main()
