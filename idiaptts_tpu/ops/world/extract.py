@@ -73,3 +73,39 @@ def world_analysis(raw, fs, num_coded_sps=60, frame_shift_ms=5.0,
     # full round trip on a tunneled device (~35 ms each).
     f0, coded_sp, bap = jax.device_get((f0, coded_sp, bap))
     return (f0[:num_frames], coded_sp[:num_frames], bap[:num_frames])
+
+
+def world_analysis_async(raw, fs, num_coded_sps=60, frame_shift_ms=5.0,
+                         fft_size=None):
+    """Dispatch the fused analysis WITHOUT waiting: returns an opaque
+    handle for :func:`world_analysis_result`.  Lets corpus extraction
+    double-buffer — dispatch utterance i+1 while utterance i's outputs
+    stream back — hiding the per-utterance device round trip."""
+    if fft_size is None:
+        fft_size = mcep_ops.fs_to_frame_length(fs)
+    hop = int(fs * frame_shift_ms / 1000.0)
+    window = int(2 ** np.ceil(np.log2(fs * 0.03)))
+    alpha = mcep_ops.fs_to_mgc_alpha(fs)
+    num_bands = max(1, d4c_mod.get_num_aperiodicities(fs))
+
+    raw = np.asarray(raw, dtype=np.float32)
+    num_frames = max(1, 1 + (len(raw) - 1) // hop)
+    padded_len = int(np.ceil(max(len(raw), 1) / _LENGTH_BUCKET)
+                     * _LENGTH_BUCKET)
+    padded = np.zeros(padded_len, dtype=np.float32)
+    padded[:len(raw)] = raw
+    outputs = _analysis_jit(
+        jnp.asarray(padded), int(fs), hop, window, int(fft_size),
+        num_bands, num_coded_sps - 1, float(alpha),
+        jnp.float32(f0_mod._UNVOICED_COST),
+        jnp.float32(f0_mod._TRANSITION_W),
+        jnp.float32(f0_mod._LAG_BIAS), jnp.float32(0.47))
+    return outputs, num_frames
+
+
+def world_analysis_result(handle):
+    """Materialise a :func:`world_analysis_async` handle ->
+    (f0, coded_sp, bap) trimmed to the true frame count."""
+    (f0, coded_sp, bap), num_frames = handle
+    f0, coded_sp, bap = jax.device_get((f0, coded_sp, bap))
+    return (f0[:num_frames], coded_sp[:num_frames], bap[:num_frames])
