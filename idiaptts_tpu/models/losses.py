@@ -83,30 +83,38 @@ class NamedLoss:
 
     @staticmethod
     def _reduce(per_elem, mask, reduction):
+        """Reference ``NamedLoss._reduce`` semantics (NamedLoss.py:113-131):
+        mean_per_frame = (sum over batch+time / total valid frames)
+        .mean-over-features; mean_per_sample = (sum over time / sample
+        length).mean over batch *and* features.  Both fall back to
+        'mean' when no seq_mask is configured, as the reference does
+        (length_dict lookup requires one)."""
         if reduction == "none":
             return per_elem
         if reduction == "sum":
             return jnp.sum(per_elem)
+        if reduction in ("mean_per_frame", "mean_per_sample") \
+                and mask is None:
+            reduction = "mean"
         if reduction == "mean":
             if mask is None:
                 return jnp.mean(per_elem)
             return jnp.sum(per_elem) / jnp.maximum(jnp.sum(mask), 1.0)
         if reduction == "mean_per_frame":
-            # Sum over feature dim, mean over valid frames.
-            frame_loss = jnp.sum(per_elem, axis=-1)
-            if mask is None:
-                return jnp.mean(frame_loss)
+            # Mean over feature dim of (sum over batch+time / frames).
+            frame_loss = jnp.mean(per_elem, axis=-1)
             frame_mask = jnp.max(mask, axis=-1)
             return jnp.sum(frame_loss) / jnp.maximum(
                 jnp.sum(frame_mask), 1.0)
         if reduction == "mean_per_sample":
-            sample_loss = jnp.sum(per_elem,
-                                  axis=tuple(range(1, per_elem.ndim)))
-            if mask is not None:
-                sample_count = jnp.sum(
-                    jnp.max(mask, axis=-1),
-                    axis=tuple(range(1, mask.ndim - 1)))
-                sample_loss = sample_loss / jnp.maximum(sample_count, 1.0)
+            # (sum over time / per-sample length), then mean over batch
+            # and features.
+            sample_loss = jnp.mean(
+                jnp.sum(per_elem, axis=tuple(range(1, per_elem.ndim - 1))),
+                axis=-1)
+            sample_count = jnp.sum(
+                jnp.max(mask, axis=-1), axis=tuple(range(1, mask.ndim - 1)))
+            sample_loss = sample_loss / jnp.maximum(sample_count, 1.0)
             return jnp.mean(sample_loss)
         raise NotImplementedError(reduction)
 

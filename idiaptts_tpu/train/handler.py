@@ -189,9 +189,12 @@ class ModularModelHandler(ModelHandler):
         if self.scheduler is None:
             return self.base_lr
         if self.iterations_per_scheduler_step:
-            return self.scheduler.lr(
-                (self.total_steps + 1)
-                // self.iterations_per_scheduler_step)
+            t = (self.total_steps + 1) // self.iterations_per_scheduler_step
+            # Epoch-style schedulers (Exponential) advance on the
+            # scheduler-step count too; on_epoch is a no-op for
+            # step-indexed ones (Noam, ExtendedExponential).
+            self.scheduler.on_epoch(t)
+            return self.scheduler.lr(t)
         return self.scheduler.lr(self.total_steps + 1)
 
     def set_losses(self, loss_configs):

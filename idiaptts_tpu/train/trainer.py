@@ -204,7 +204,10 @@ class ModularTrainer:
         (ExtendedHParams.py:190 / ModularTrainer.py:288-297 role)."""
         readers = list(self.datareaders.values())
         if not readers:
-            return
+            raise ValueError(
+                "No datareaders configured — set up DataReaderConfigs "
+                "before _setup_datasets (datasets would stay None and "
+                "fail later in training).")
         dataset_type = hparams.get("dataset_type",
                                    "DatareadersDataset")
         if dataset_type in ("WindowingDatareadersDataset",
@@ -223,8 +226,13 @@ class ModularTrainer:
     def _example_batch(self, hparams, id_list=None):
         ids = id_list or (self.id_list_train or self.id_list_val
                           or self.id_list_test)
-        sample, _ = self.dataset_train.get_id_name(ids[0]) \
-            if self.dataset_train else (None, None)
+        if not ids:
+            raise ValueError("No utterance ids available to build an "
+                             "example batch — id lists are empty.")
+        if self.dataset_train is None:
+            raise ValueError("Datasets are not initialised — call "
+                             "_setup_datasets before _example_batch.")
+        sample, _ = self.dataset_train.get_id_name(ids[0])
         return collate_batch([sample])
 
     # -- batching ---------------------------------------------------------
@@ -314,8 +322,16 @@ class ModularTrainer:
             if math.isnan(train_loss):
                 logger.error("Train loss is NaN, stopping.")
                 break
-            if self.model_handler.scheduler is not None:
-                self.model_handler.scheduler.on_epoch(self.total_epoch)
+            if self.model_handler.scheduler is not None and \
+                    not self.model_handler.iterations_per_scheduler_step:
+                # run_scheduler semantics (ModularModelHandlerPyTorch.py
+                # :927-951): the scheduler advances once every
+                # epochs_per_scheduler_step epochs, indexed by the number
+                # of scheduler steps taken.
+                eps = self.model_handler.epochs_per_scheduler_step or 1
+                if self.total_epoch % eps == 0:
+                    self.model_handler.scheduler.on_epoch(
+                        self.total_epoch // eps)
 
             if hparams.get("epochs_per_test", 1) > 0 and \
                     self.total_epoch % hparams.get("epochs_per_test",
@@ -652,12 +668,12 @@ class ModularTrainer:
                 np.savez(os.path.join(out_dir, id_name + ".npz"),
                          **{key: sample})
                 continue
-            for output_name in (mapping or sample):
-                if output_name not in sample:
-                    continue
+            arrays = {output_name: np.asarray(sample[output_name])
+                      for output_name in (mapping or sample)
+                      if output_name in sample}
+            if arrays:
                 np.savez(os.path.join(out_dir, id_name + ".npz"),
-                         **{output_name:
-                            np.asarray(sample[output_name])})
+                         **arrays)
         return results
 
     @staticmethod
