@@ -1,6 +1,7 @@
 """Headline benchmark: LJSpeech label->waveform synthesis throughput.
 
-Measures the full TPU inference path on the committed fixtures:
+Measures the full TPU inference path on the committed fixture corpus
+(repo-local tests/fixtures; falls back to the reference mount):
 question labels -> biLSTM acoustic model (Interspeech'18 baseline size)
 -> denormalisation -> MLPG trajectory smoothing -> mcep decode -> WORLD
 harmonic+noise synthesis.  Prints ONE JSON line:
@@ -18,20 +19,41 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-FIXTURES = "/root/reference/test/integration/fixtures"
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_LOCAL_FIXTURES = os.path.join(_REPO, "tests", "fixtures")
+_REF_FIXTURES = "/root/reference/test/integration/fixtures"
 FS = 16000
 NUM_SPS = 20
-NUM_QUESTIONS = 409
 
 
-def _load_inputs(ids):
+def _corpus():
+    """(fixtures_dir, id_list, num_questions, stats_prefix).
+
+    Prefers the reference fixture set (longer utterances, keeps the
+    headline number comparable across rounds); falls back to the
+    repo-local corpus so the benchmark also runs self-contained."""
+    if os.path.isdir(_REF_FIXTURES):
+        ids = ["LJ001-000{}".format(i) for i in range(1, 10)]
+        return _REF_FIXTURES, ids, 409, ""
+    if os.path.isdir(_LOCAL_FIXTURES):
+        with open(os.path.join(_LOCAL_FIXTURES, "file_id_list.txt")) as f:
+            ids = [line.strip() for line in f if line.strip()]
+        from idiaptts_tpu.data.questions import QuestionSet
+        num_q = QuestionSet(os.path.join(
+            _LOCAL_FIXTURES, "questions-gen_dnn.hed")).dict_size + 9
+        return _LOCAL_FIXTURES, ids, num_q, "file_id_list-"
+    raise RuntimeError("no fixture corpus found; run "
+                       "tools/create_fixtures.py")
+
+
+def _load_inputs(fixtures, ids, num_questions):
     from idiaptts_tpu.data.questions import QuestionLabelGen
 
     questions = {}
     for id_name in ids:
         questions[id_name] = QuestionLabelGen.load_sample(
-            id_name, os.path.join(FIXTURES, "questions"),
-            num_questions=NUM_QUESTIONS)
+            id_name, os.path.join(fixtures, "questions"),
+            num_questions=num_questions)
     return questions
 
 
@@ -43,21 +65,23 @@ def main():
     from idiaptts_tpu.models.rnn_dyn import convert_legacy_string
     from idiaptts_tpu.synth.pipeline import FusedAcousticPipeline
 
-    ids = ["LJ001-000{}".format(i) for i in range(1, 10)]
-    questions = _load_inputs(ids)
+    fixtures, ids, num_questions, stats_prefix = _corpus()
+    questions = _load_inputs(fixtures, ids, num_questions)
 
     # Model: Interspeech'18 baseline acoustic architecture.
     cfg = convert_legacy_string(
-        "RNNDYN-2_RELU_1024-3_BiLSTM_512-1_FC_67", NUM_QUESTIONS)
+        "RNNDYN-2_RELU_1024-3_BiLSTM_512-1_FC_67", num_questions)
     cfg.input_names = ("questions",)
     cfg.output_names = ("pred",)
     model = cfg.create_model()
 
     # MLPG variances from the fixture stats (reference-produced).
     def diag(name):
-        _, cov = MeanCovarianceExtractor.load(os.path.join(
-            FIXTURES, "WORLD", "cmp_mcep20",
-            name + "-mean-covariance.bin"))
+        base = os.path.join(fixtures, "WORLD", "cmp_mcep20",
+                            stats_prefix + name + "-mean-covariance")
+        path = base + (".npz" if os.path.isfile(base + ".npz")
+                       else ".bin")
+        _, cov = MeanCovarianceExtractor.load(path)
         return np.ascontiguousarray(np.diagonal(cov))
 
     variances = {"sp": diag("mcep20"), "lf0": diag("lf0"),
@@ -66,7 +90,7 @@ def main():
     # Pad all utterances to one bucket for a single compiled program.
     max_T = max(len(q) for q in questions.values())
     bucket = int(np.ceil(max_T / 256) * 256)
-    batch = np.zeros((len(ids), bucket, NUM_QUESTIONS), np.float32)
+    batch = np.zeros((len(ids), bucket, num_questions), np.float32)
     lengths = np.zeros(len(ids), np.int32)
     for i, id_name in enumerate(ids):
         q = questions[id_name]

@@ -30,7 +30,9 @@ logging.basicConfig(level=logging.INFO,
 logger = logging.getLogger("ljspeech_demo")
 
 NUM_SPS = 20
-NUM_QUESTIONS = 409
+def _num_questions(args):
+    from idiaptts_tpu.data.questions import QuestionSet
+    return QuestionSet(_question_file(args)).dict_size + 9
 
 
 def stage1_world(args, ids):
@@ -43,13 +45,21 @@ def stage1_world(args, ids):
     logger.info("WORLD features in %s", dir_world)
 
 
+def _question_file(args):
+    import glob
+    heds = sorted(glob.glob(os.path.join(args.fixtures, "*.hed")))
+    if not heds:
+        raise FileNotFoundError("no .hed question file in "
+                                + args.fixtures)
+    return heds[0]
+
+
 def stage2_labels(args, ids):
     from idiaptts_tpu.data.phonemes import PhonemeDurationLabelGen
     from idiaptts_tpu.data.questions import QuestionLabelGen
     label_dir = os.path.join(args.fixtures, "labels",
                              "label_state_align")
-    q_file = os.path.join(args.fixtures,
-                          "questions-en-radio_dnn_400.hed")
+    q_file = _question_file(args)
     QuestionLabelGen.gen_data(
         label_dir, q_file,
         dir_out=os.path.join(args.work_dir, "questions"), id_list=ids)
@@ -74,7 +84,7 @@ def _dur_trainer(args, ids):
         for id_name in ids:
             q = QuestionLabelGen.load_sample(
                 id_name, os.path.join(args.work_dir, "questions"),
-                num_questions=NUM_QUESTIONS)
+                num_questions=_num_questions(args))
             dur = PhonemeDurationLabelGen.load_sample(
                 id_name, os.path.join(args.work_dir, "dur"))
             frames = dur.sum(axis=1).astype(np.int64)
@@ -87,7 +97,7 @@ def _dur_trainer(args, ids):
         extractor.save(os.path.join(dir_q_phone, "all"))
 
     hparams = DurationModelTrainer.create_hparams()
-    hparams.num_questions = NUM_QUESTIONS
+    hparams.num_questions = _num_questions(args)
     hparams.out_dir = os.path.join(args.work_dir, "dur_model")
     hparams.model_name = "duration"
     hparams.epochs = args.epochs
@@ -111,7 +121,7 @@ def stage3_duration(args, ids):
 def _acoustic_trainer(args, ids):
     from idiaptts_tpu.train.acoustic import AcousticModelTrainer
     hparams = AcousticModelTrainer.create_hparams()
-    hparams.num_questions = NUM_QUESTIONS
+    hparams.num_questions = _num_questions(args)
     hparams.num_coded_sps = NUM_SPS
     hparams.out_dir = os.path.join(args.work_dir, "am")
     hparams.model_name = "acoustic"
@@ -193,9 +203,12 @@ def stage6_synth(args, ids):
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--work_dir", required=True)
-    parser.add_argument("--fixtures",
-                        default="/root/reference/test/integration/"
-                                "fixtures")
+    default_fixtures = "/root/reference/test/integration/fixtures"
+    if not os.path.isdir(default_fixtures):
+        default_fixtures = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "..", "..",
+            "tests", "fixtures")
+    parser.add_argument("--fixtures", default=default_fixtures)
     parser.add_argument("--stage", type=int, default=1)
     parser.add_argument("--stop_stage", type=int, default=6)
     parser.add_argument("--epochs", type=int, default=8)

@@ -240,6 +240,19 @@ class NpzDataReader(DataReader):
         for candidate in (base + ".npz", base + ".bin"):
             if os.path.isfile(candidate):
                 return self.normaliser.load(candidate)
+        if not file_name:
+            # Stats written under an id-list prefix (gen_data's
+            # ``<id_list_name>-<appendix>``): unambiguous single match
+            # loads directly.
+            import glob as _glob
+            matches = sorted(
+                _glob.glob(os.path.join(
+                    directory,
+                    "*-" + self.normaliser.file_name_appendix + ext))
+                for ext in (".npz", ".bin"))
+            matches = [m for group in matches for m in group]
+            if len(matches) == 1:
+                return self.normaliser.load(matches[0])
         raise FileNotFoundError(base)
 
     # -- loading ---------------------------------------------------------

@@ -225,6 +225,7 @@ class ExtendedHParams:
             # -- device / parallelism ------------------------------------
             use_gpu=False,           # kept for API compat; means "use TPU"
             num_devices=1,
+            model_parallel=1,        # tensor-parallel mesh axis size
             mesh_shape=None,         # e.g. {"data": 8}
             data_axis="data",
             dtype="float32",         # parameter dtype

@@ -16,6 +16,20 @@ import jax.numpy as jnp
 from idiaptts_tpu.models.config import ModelConfig
 
 
+def select_lengths(lengths, *names):
+    """Per-feature lengths: ``lengths`` is either one (B,) vector (all
+    features share a frame rate) or a dict ``{feature_name: (B,)}``
+    (multi-rate batches — the reference's per-reader lengths in
+    ``prepare_batch``, ModularModelHandlerPyTorch.py:388-465).  Modules
+    select the vector of their first matching named feature."""
+    if isinstance(lengths, dict):
+        for name in names:
+            if name is not None and name in lengths:
+                return lengths[name]
+        return next(iter(lengths.values())) if lengths else None
+    return lengths
+
+
 def broadcast_time(value, max_time):
     """(B, D) -> (B, 1, D) -> tiled (B, T, D); (B, T, D) passes through
     (NamedForwardModule.py:140-149 role)."""
@@ -83,6 +97,7 @@ class NamedForwardWrapper(nn.Module):
         inputs = merge_inputs(data_dict, self.input_names,
                               self.input_merge_type, training,
                               self.teacher_forcing_input_names)
+        lengths = select_lengths(lengths, *self.input_names)
         output = self.wrapped(inputs, lengths=lengths, training=training)
         return write_outputs(data_dict, self.output_names, output)
 

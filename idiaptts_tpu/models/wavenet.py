@@ -94,7 +94,12 @@ class WaveNetWrapper(nn.Module):
 
     @nn.compact
     def __call__(self, data_dict, lengths=None, training=False):
+        from idiaptts_tpu.models.named import select_lengths
         cfg = self.config
+        # Multi-rate batch: masking runs at the waveform rate, so the
+        # target's lengths (not the frame-rate conditioning's) apply.
+        lengths = select_lengths(lengths, cfg.target_name,
+                                 *(cfg.input_names or ()))
         cond = jnp.asarray(data_dict[cfg.input_names[0]]) \
             if cfg.input_names else None
         target = jnp.asarray(data_dict[cfg.target_name])

@@ -25,6 +25,8 @@ class WindowingWrapper(nn.Module):
 
     @nn.compact
     def __call__(self, data_dict, lengths=None, training=False):
+        from idiaptts_tpu.models.named import select_lengths
+        lengths = select_lengths(lengths, *self.input_names)
         x = merge_inputs(data_dict, self.input_names)
         B, T, D = x.shape
         W, S = self.window_size, self.window_step

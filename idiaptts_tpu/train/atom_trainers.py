@@ -142,6 +142,43 @@ class AtomModelTrainer(ModularTrainer):
             load_sp=False, load_bap=False)
         return sample[:, 0], sample[:, 1]
 
+    def gen_figure_from_output(self, id_name, sample, hparams):
+        """Reference-style atom figure (AtomModelTrainer gen_figure
+        role): reconstructed LF0 over the original track on one grid,
+        predicted atom spikes with their gamma curves below, VUV shaded
+        (DataPlotter.set_atom_list / _plot_atom_list :426-434)."""
+        from idiaptts_tpu.utils.plotter import DataPlotter
+        out_dir = hparams.get("synth_dir") or hparams.get("out_dir") \
+            or "."
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, "{}{}".format(
+            id_name, hparams.get("gen_figure_ext", ".pdf")))
+        reader = self.datareaders["atoms"]
+        pred = np.asarray(sample["pred_atoms"])
+        num_thetas = len(reader.theta_interval)
+        labels = reader.postprocess_sample(pred[:, :num_thetas],
+                                           identify_peaks=True)
+        atoms = AtomLabelGen.labels_to_atoms(
+            labels, k=hparams.get("k", 6),
+            amp_threshold=hparams.get("min_atom_amp", 0.3))
+        recon = AtomLabelGen.atoms_to_lf0(atoms, len(labels))
+        lf0, vuv = self._load_org_lf0(id_name, len(recon))
+        n = min(len(recon), len(lf0))
+        frame_rate = 1000.0 / hparams.get("frame_size_ms", 5)
+        with DataPlotter(plot_per_sec=frame_rate) as plotter:
+            plotter.set_data_list(0, [
+                (lf0[:n] - np.mean(lf0[:n][vuv[:n] > 0])
+                 if (vuv[:n] > 0).any() else lf0[:n], "org lf0 (centred)"),
+                (recon[:n], "reconstruction")])
+            plotter.set_area_list(0, [(vuv[:n] < 0.5, "0.8", 0.4,
+                                       "unvoiced")])
+            plotter.set_atom_list(1, atoms)
+            plotter.set_label(0, ylabel="lf0 deviation")
+            plotter.set_label(1, ylabel="atoms")
+            plotter.gen_plot()
+            plotter.save_to_file(path)
+        return path
+
     def gen_waveform(self, hparams, results):
         raise NotImplementedError(
             "Atom models predict intonation, not waveforms.")

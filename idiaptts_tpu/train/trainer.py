@@ -116,8 +116,12 @@ class ModularTrainer:
             example = self._example_batch(hparams)
             self.model_handler.create_model(model_config, hparams,
                                             example_batch=example)
-        if hparams.get("use_gpu") or hparams.get("num_devices", 1) > 1:
-            self.model_handler.setup_mesh(hparams.get("num_devices"))
+        model_parallel = hparams.get("model_parallel", 1) or 1
+        if hparams.get("use_gpu") or hparams.get("num_devices", 1) > 1 \
+                or model_parallel > 1:
+            self.model_handler.setup_mesh(
+                hparams.get("num_devices"),
+                model_parallel=model_parallel)
         self.model_handler.set_optimiser(hparams)
         self.model_handler.set_scheduler(hparams)
         self.model_handler.set_losses(self.loss_configs)
@@ -445,11 +449,26 @@ class ModularTrainer:
             merged = dict(batch)
             merged.update({k: v for k, v in out.items()
                            if isinstance(v, np.ndarray)})
-            # Use input lengths for output trimming.
+            # Per-feature lengths for output trimming.  Model outputs
+            # take the lengths of the batch feature with the same
+            # padded time axis, so multi-rate batches (frame-rate
+            # conditioning + sample-rate waveform) trim correctly.
             first_len_key = next(iter(batch["_lengths"]))
-            lengths = {k: batch["_lengths"].get(
-                k, batch["_lengths"][first_len_key])
-                for k in merged if not k.startswith("_")}
+            lengths = {}
+            for k, v in merged.items():
+                if k.startswith("_"):
+                    continue
+                if k in batch["_lengths"]:
+                    lengths[k] = batch["_lengths"][k]
+                    continue
+                time_dim = v.shape[1] if getattr(v, "ndim", 0) > 1 \
+                    else None
+                match = next(
+                    (lk for lk in batch["_lengths"]
+                     if lk in batch
+                     and getattr(batch[lk], "ndim", 0) > 1
+                     and batch[lk].shape[1] == time_dim), None)
+                lengths[k] = batch["_lengths"][match or first_len_key]
             decollated = batch_decollate(merged, lengths=lengths)
             for id_name, sample in zip(chunk, decollated):
                 if post_process:

@@ -2,7 +2,9 @@
 
 Capability parity with ``idiaptts/src/DataPlotter.py`` (:41-544):
 grid-indexed data lists (curves), specshow-style images, area
-highlighting, annotations, linked x-axes, context-manager usage and
+highlighting, annotations, atom-spike plots with per-atom gamma curves
+(set_atom_list :119-121, _plot_atom_list :426-434), time-in-seconds
+axis scaling, linked x-axes, context-manager usage and
 ``save_to_file``.
 """
 
@@ -21,14 +23,18 @@ class DataPlotter:
             self.plot_per_sec = plot_per_sec
             self.kwargs = kwargs
 
-    def __init__(self):
+    def __init__(self, plot_per_sec=None):
         self.data_lists = {}
         self.image_data = {}
         self.areas = {}
         self.annotations = {}
+        self.atom_lists = {}
         self.labels = {}
         self.num_colors = 10
         self.fig = None
+        # Frames per second: when set, the x axis is rendered in
+        # seconds instead of frame indices.
+        self.plot_per_sec = plot_per_sec
 
     def __enter__(self):
         return self
@@ -53,12 +59,37 @@ class DataPlotter:
         """annotations: [(x, y, text)]."""
         self.annotations[grid_idx] = annotations
 
+    def set_atom_list(self, grid_idx, atom_list):
+        """atom_list: objects with ``.position``, ``.amp`` and
+        ``get_padded_curve(num_frames)`` (GammaAtom); each atom is
+        drawn as an amplitude spike plus its gamma kernel curve
+        (reference _plot_atom_list :426-434)."""
+        self.atom_lists[grid_idx] = atom_list
+
     def set_label(self, grid_idx, xlabel=None, ylabel=None, title=None):
         self.labels[grid_idx] = (xlabel, ylabel, title)
 
     # -- rendering --------------------------------------------------------
+    def _max_length(self, grid_idx):
+        length = 0
+        for entry in self.data_lists.get(grid_idx, []):
+            length = max(length, len(entry[0]))
+        if grid_idx in self.image_data:
+            length = max(length, len(self.image_data[grid_idx][0]))
+        for atom in self.atom_lists.get(grid_idx, []):
+            length = max(length, atom.position + 1)
+        return length
+
+    def _times(self, length):
+        t = np.arange(length, dtype=np.float64)
+        if self.plot_per_sec:
+            t = t / float(self.plot_per_sec)
+        return t
+
     def gen_plot(self, sharex=True, figsize=None):
-        grids = sorted(set(list(self.data_lists) + list(self.image_data)))
+        grids = sorted(set(list(self.data_lists)
+                           + list(self.image_data)
+                           + list(self.atom_lists)))
         if not grids:
             raise ValueError("No data set.")
         n = len(grids)
@@ -66,21 +97,36 @@ class DataPlotter:
             n, 1, sharex=sharex, squeeze=False,
             figsize=figsize or (10, 2.5 * n))
         for ax, grid_idx in zip(axes[:, 0], grids):
+            max_length = self._max_length(grid_idx)
             if grid_idx in self.image_data:
                 spec, label = self.image_data[grid_idx]
+                extent = None
+                if self.plot_per_sec:
+                    extent = (0, len(spec) / float(self.plot_per_sec),
+                              0, spec.shape[1])
                 ax.imshow(spec.T, aspect="auto", origin="lower",
-                          interpolation="none")
+                          interpolation="none", extent=extent)
                 if label:
                     ax.set_title(label)
             for entry in self.data_lists.get(grid_idx, []):
                 ydata, label = entry[0], entry[1] if len(entry) > 1 \
                     else None
                 xdata = entry[2] if len(entry) > 2 else \
-                    np.arange(len(ydata))
+                    self._times(len(ydata))
                 ax.plot(xdata, ydata, label=label, linewidth=0.8)
+            atoms = self.atom_lists.get(grid_idx, [])
+            if atoms:
+                t = self._times(max_length)
+                spikes = np.zeros(max_length)
+                for atom in atoms:
+                    spikes[min(atom.position, max_length - 1)] = atom.amp
+                    ax.plot(t, atom.get_padded_curve(max_length),
+                            linewidth=1.2)
+                markerline, _, _ = ax.stem(t, spikes)
+                plt.setp(markerline, markersize=2)
             for mask, color, alpha, label in self.areas.get(grid_idx,
                                                             []):
-                ax.fill_between(np.arange(len(mask)), 0, 1,
+                ax.fill_between(self._times(len(mask)), 0, 1,
                                 where=np.asarray(mask) > 0,
                                 color=color, alpha=alpha,
                                 transform=ax.get_xaxis_transform(),
@@ -89,6 +135,8 @@ class DataPlotter:
                 ax.annotate(text, (x, y))
             xlabel, ylabel, title = self.labels.get(grid_idx,
                                                     (None, None, None))
+            if xlabel is None and self.plot_per_sec:
+                xlabel = "time (s)"
             if xlabel:
                 ax.set_xlabel(xlabel)
             if ylabel:

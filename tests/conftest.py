@@ -19,11 +19,51 @@ jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
-FIXTURES = "/root/reference/test/integration/fixtures"
+# Repo-local fixture corpus (committed; regenerate with
+# tools/create_fixtures.py). The suite is self-contained: it runs without
+# the read-only reference mount.
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+# Reference fixture set — only for parity tests that compare against the
+# reference's precomputed outputs (pyworld/SPTK/Merlin artefacts). These
+# skip when the mount is absent.
+REF_FIXTURES = "/root/reference/test/integration/fixtures"
+
+QUESTION_FILE = "questions-gen_dnn.hed"
 
 
 @pytest.fixture(scope="session")
 def fixtures_dir():
     if not os.path.isdir(FIXTURES):
-        pytest.skip("reference fixtures not available")
+        pytest.skip("run tools/create_fixtures.py to generate fixtures")
     return FIXTURES
+
+
+@pytest.fixture(scope="session")
+def ref_fixtures_dir():
+    if not os.path.isdir(REF_FIXTURES):
+        pytest.skip("reference fixtures not available")
+    return REF_FIXTURES
+
+
+@pytest.fixture(scope="session")
+def id_list(fixtures_dir):
+    with open(os.path.join(fixtures_dir, "file_id_list.txt")) as f:
+        return [line.strip() for line in f if line.strip()]
+
+
+@pytest.fixture(scope="session")
+def uid(id_list):
+    return id_list[0]
+
+
+@pytest.fixture(scope="session")
+def question_file(fixtures_dir):
+    return os.path.join(fixtures_dir, QUESTION_FILE)
+
+
+@pytest.fixture(scope="session")
+def num_questions(question_file):
+    """Question-vector width incl. the 9 subphone features."""
+    from idiaptts_tpu.data.questions import QuestionSet
+    return QuestionSet(question_file).dict_size + 9

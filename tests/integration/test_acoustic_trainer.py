@@ -1,4 +1,4 @@
-"""End-to-end acoustic model pipeline on the reference fixtures:
+"""End-to-end acoustic model pipeline on the repo fixtures:
 frame-level questions -> biLSTM -> WORLD cmp features -> MLPG -> WORLD
 synthesis.  Mirrors test_AcousticModelTrainer.py:66-170: init / train
 with decreasing loss / benchmark (MCD, F0-RMSE, VDE, BAP) / synth with
@@ -11,21 +11,20 @@ import pytest
 
 from idiaptts_tpu.train.acoustic import AcousticModelTrainer
 
-ID_LIST = ["LJ001-000{}".format(i) for i in range(1, 10)]
-
 
 @pytest.fixture(scope="module")
-def trainer_and_hparams(fixtures_dir, tmp_path_factory):
+def trainer_and_hparams(fixtures_dir, id_list, num_questions,
+                        tmp_path_factory):
     out_dir = str(tmp_path_factory.mktemp("acoustic_exp"))
     hparams = AcousticModelTrainer.create_hparams()
-    hparams.num_questions = 409
+    hparams.num_questions = num_questions
     hparams.num_coded_sps = 20
     hparams.out_dir = out_dir
     hparams.model_name = "test_acoustic"
-    hparams.epochs = 3
+    hparams.epochs = 6
     hparams.batch_size_train = 2
-    hparams.batch_size_val = 9
-    hparams.batch_size_benchmark = 9
+    hparams.batch_size_val = 6
+    hparams.batch_size_benchmark = 6
     hparams.batch_size_synth = 2
     hparams.learning_rate = 0.001
     hparams.seed = 1
@@ -36,12 +35,12 @@ def trainer_and_hparams(fixtures_dir, tmp_path_factory):
 
     # Small model for test speed.
     trainer = AcousticModelTrainer(
-        hparams, ID_LIST,
+        hparams, list(id_list),
         dir_question_labels=os.path.join(fixtures_dir, "questions"),
         dir_world_features=os.path.join(fixtures_dir, "WORLD"))
     from idiaptts_tpu.models.rnn_dyn import convert_legacy_string
     cfg = convert_legacy_string("RNNDYN-1_RELU_64-1_BiLSTM_32-1_FC_67",
-                                409)
+                                num_questions)
     cfg.input_names = ("questions",)
     cfg.output_names = ("pred_acoustic_features",)
     trainer.init(hparams, model_config=cfg)

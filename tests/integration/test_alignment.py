@@ -1,6 +1,6 @@
 """Forced alignment on fixture audio: train monophone HMMs on 3
-utterances, align, and compare phone boundaries against the reference's
-HTK alignments (loose agreement — different models)."""
+utterances, align, and compare phone boundaries against the corpus's
+true generating alignment (loose agreement — tiny training set)."""
 
 import os
 
@@ -11,22 +11,20 @@ from idiaptts_tpu.data.alignment import ForcedAligner, extract_mfcc
 from idiaptts_tpu.data.phonemes import PhonemeLabelGen
 from idiaptts_tpu.ops.audio_io import get_raw
 
-IDS = ["LJ001-0002", "LJ001-0005", "LJ001-0008"]
-
-
-def test_mfcc_shapes(fixtures_dir):
+def test_mfcc_shapes(fixtures_dir, uid):
     raw, fs = get_raw(os.path.join(fixtures_dir, "database", "wav",
-                                   "LJ001-0002.wav"))
+                                   uid + ".wav"))
     mfcc = extract_mfcc(raw[:fs], fs)
     assert mfcc.shape[1] == 39
     assert np.all(np.isfinite(mfcc))
 
 
-def test_forced_alignment(fixtures_dir, tmp_path):
+def test_forced_alignment(fixtures_dir, id_list, tmp_path):
     label_dir = os.path.join(fixtures_dir, "labels", "mono_no_align")
+    ids = id_list[:3]
     utterances = {}
     phone_set = set()
-    for id_name in IDS:
+    for id_name in ids:
         symbols = PhonemeLabelGen._load_mono(
             os.path.join(label_dir, id_name + ".lab"))
         utterances[id_name] = symbols
@@ -37,7 +35,7 @@ def test_forced_alignment(fixtures_dir, tmp_path):
                   utterances, num_iterations=3)
     out_dir = aligner.align_corpus(str(tmp_path / "aligned"))
 
-    for id_name in IDS:
+    for id_name in ids:
         path = os.path.join(out_dir, id_name + ".lab")
         assert os.path.isfile(path)
         with open(path) as f:
@@ -57,7 +55,7 @@ def test_forced_alignment(fixtures_dir, tmp_path):
     # phone-boundary error under 150 ms (different acoustic models, 3
     # training utterances — sanity level).
     ref_dir = os.path.join(fixtures_dir, "labels", "label_state_align")
-    id_name = IDS[0]
+    id_name = ids[0]
     with open(os.path.join(ref_dir, id_name + ".lab")) as f:
         ref_lines = [l.split() for l in f if l.strip()]
     ref_bounds = [int(l[0]) / 1e7 for l in ref_lines

@@ -1,4 +1,4 @@
-"""End-to-end duration model pipeline on the reference fixtures:
+"""End-to-end duration model pipeline on the repo fixtures:
 questions (phone level) -> FFN -> 5-state durations.  Mirrors the
 reference's (disabled) test_DurationModelTrainer.py strategy: init,
 train a few epochs with decreasing loss, benchmark, forward."""
@@ -12,11 +12,9 @@ from idiaptts_tpu.data.phonemes import PhonemeDurationLabelGen
 from idiaptts_tpu.data.questions import QuestionLabelGen
 from idiaptts_tpu.train.duration import DurationModelTrainer
 
-ID_LIST = ["LJ001-000{}".format(i) for i in range(1, 10)]
-
-
 @pytest.fixture(scope="module")
-def prepared_dirs(fixtures_dir, tmp_path_factory):
+def prepared_dirs(fixtures_dir, id_list, question_file,
+                  tmp_path_factory):
     """Phone-level questions + durations extracted from fixtures."""
     base = tmp_path_factory.mktemp("dur_data")
     dir_questions = str(base / "questions")
@@ -25,9 +23,8 @@ def prepared_dirs(fixtures_dir, tmp_path_factory):
     # collapsed. Generate frame questions, then take the first frame of
     # each phone via durations.
     label_dir = os.path.join(fixtures_dir, "labels", "label_state_align")
-    q_file = os.path.join(fixtures_dir, "questions-en-radio_dnn_400.hed")
     label_dict, vmin, vmax = QuestionLabelGen.gen_data(
-        label_dir, q_file, dir_out=None, id_list=ID_LIST,
+        label_dir, question_file, dir_out=None, id_list=id_list,
         return_dict=True)
     os.makedirs(dir_questions, exist_ok=True)
     from idiaptts_tpu.data.normalisation import MinMaxExtractor
@@ -45,22 +42,23 @@ def prepared_dirs(fixtures_dir, tmp_path_factory):
     return dir_questions, dir_dur
 
 
-def test_duration_pipeline(prepared_dirs, tmp_path):
+def test_duration_pipeline(prepared_dirs, id_list, num_questions,
+                           tmp_path):
     dir_questions, dir_dur = prepared_dirs
     hparams = DurationModelTrainer.create_hparams()
-    hparams.num_questions = 409
+    hparams.num_questions = num_questions
     hparams.out_dir = str(tmp_path / "exp")
     hparams.model_name = "test_dur"
     hparams.epochs = 3
     hparams.batch_size_train = 4
-    hparams.batch_size_val = 9
+    hparams.batch_size_val = 6
     hparams.learning_rate = 0.002
     hparams.seed = 1
     hparams.use_best_as_final_model = False
     hparams.test_set_perc = 0.0
     hparams.val_set_perc = 0.34
 
-    trainer = DurationModelTrainer(hparams, ID_LIST,
+    trainer = DurationModelTrainer(hparams, list(id_list),
                                    dir_phoneme_labels=dir_questions,
                                    dir_durations=dir_dur)
     trainer.init(hparams)
@@ -88,10 +86,11 @@ def test_duration_pipeline(prepared_dirs, tmp_path):
     assert os.path.isfile(os.path.join(nn_dir, "params_last"))
 
 
-def test_duration_resume_checkpoint(prepared_dirs, tmp_path):
+def test_duration_resume_checkpoint(prepared_dirs, id_list,
+                                    num_questions, tmp_path):
     dir_questions, dir_dur = prepared_dirs
     hparams = DurationModelTrainer.create_hparams()
-    hparams.num_questions = 409
+    hparams.num_questions = num_questions
     hparams.out_dir = str(tmp_path / "exp")
     hparams.model_name = "resume_dur"
     hparams.epochs = 1
@@ -102,7 +101,7 @@ def test_duration_resume_checkpoint(prepared_dirs, tmp_path):
     hparams.val_set_perc = 0.2
     hparams.use_best_as_final_model = False
 
-    trainer = DurationModelTrainer(hparams, ID_LIST,
+    trainer = DurationModelTrainer(hparams, list(id_list),
                                    dir_phoneme_labels=dir_questions,
                                    dir_durations=dir_dur)
     trainer.init(hparams)
@@ -112,7 +111,7 @@ def test_duration_resume_checkpoint(prepared_dirs, tmp_path):
 
     # Resume from the written checkpoint into a new trainer.
     hparams.load_newest_checkpoint = True
-    trainer2 = DurationModelTrainer(hparams, ID_LIST,
+    trainer2 = DurationModelTrainer(hparams, list(id_list),
                                     dir_phoneme_labels=dir_questions,
                                     dir_durations=dir_dur)
     trainer2.init(hparams)
@@ -120,13 +119,14 @@ def test_duration_resume_checkpoint(prepared_dirs, tmp_path):
     trainer2.train(hparams)
     assert trainer2.model_handler.total_steps > 0
 
-def test_reference_surface_helpers(prepared_dirs, tmp_path):
+def test_reference_surface_helpers(prepared_dirs, id_list,
+                                   num_questions, tmp_path):
     """ModularTrainer compatibility helpers: loss recording/logging,
     checkpoint delegates, plots, gen_output (ModularTrainer.py:119-1012
     roles)."""
     dir_questions, dir_dur = prepared_dirs
     hparams = DurationModelTrainer.create_hparams()
-    hparams.num_questions = 409
+    hparams.num_questions = num_questions
     hparams.out_dir = str(tmp_path / "exp")
     hparams.model_name = "helpers"
     hparams.epochs = 2
@@ -134,7 +134,7 @@ def test_reference_surface_helpers(prepared_dirs, tmp_path):
     hparams.seed = 3
     hparams.test_set_perc = 0.0
     hparams.val_set_perc = 0.34
-    trainer = DurationModelTrainer(hparams, ID_LIST,
+    trainer = DurationModelTrainer(hparams, list(id_list),
                                    dir_phoneme_labels=dir_questions,
                                    dir_durations=dir_dur)
     trainer.init(hparams)
@@ -157,9 +157,9 @@ def test_reference_surface_helpers(prepared_dirs, tmp_path):
     assert os.path.isdir(trainer.get_model_path(hparams))
     # Data access.
     assert trainer.get_dataset("train") is not None
-    assert trainer.get_labels("questions", ID_LIST[0]).shape[1] == 409
+    assert trainer.get_labels("questions", id_list[0]).shape[1] == num_questions
     # gen_output writes npz files.
-    out = trainer.gen_output(hparams, ID_LIST[:2])
+    out = trainer.gen_output(hparams, id_list[:2])
     assert len(out) == 2
     import glob
     hparams.add_hparams(save_output_dir=None)

@@ -12,12 +12,9 @@ from idiaptts_tpu.synth.tts_model import TTSModel
 from idiaptts_tpu.train.acoustic import AcousticModelTrainer
 from idiaptts_tpu.train.duration import DurationModelTrainer
 
-ID_LIST = ["LJ001-000{}".format(i) for i in range(1, 10)]
-
-
-def test_run_dm_am(fixtures_dir, tmp_path):
-    q_file = os.path.join(fixtures_dir,
-                          "questions-en-radio_dnn_400.hed")
+def test_run_dm_am(fixtures_dir, id_list, question_file,
+                   num_questions, tmp_path):
+    q_file = question_file
     label_dir = os.path.join(fixtures_dir, "labels",
                              "label_state_align")
 
@@ -30,7 +27,7 @@ def test_run_dm_am(fixtures_dir, tmp_path):
     operator = HTSLabelNormalisation(q_file, add_frame_features=False,
                                      subphone_feats="none")
     extractor = MinMaxExtractor()
-    for id_name in ID_LIST:
+    for id_name in id_list:
         with open(os.path.join(label_dir, id_name + ".lab")) as f:
             lines = [l for l in f if l.strip()]
         labels = TTSModel.strip_timings(lines)
@@ -41,7 +38,7 @@ def test_run_dm_am(fixtures_dir, tmp_path):
     extractor.save(os.path.join(dur_q_dir, "all"))
 
     dur_hparams = DurationModelTrainer.create_hparams()
-    dur_hparams.num_questions = 400
+    dur_hparams.num_questions = num_questions - 9
     dur_hparams.out_dir = str(tmp_path / "exp")
     dur_hparams.model_name = "dm"
     dur_hparams.epochs = 2
@@ -52,14 +49,14 @@ def test_run_dm_am(fixtures_dir, tmp_path):
     dur_hparams.val_set_perc = 0.2
     dur_hparams.use_best_as_final_model = False
     dur_trainer = DurationModelTrainer(
-        dur_hparams, ID_LIST, dir_phoneme_labels=dur_q_dir,
+        dur_hparams, list(id_list), dir_phoneme_labels=dur_q_dir,
         dir_durations=os.path.join(fixtures_dir, "dur"))
     dur_trainer.init(dur_hparams)
     dur_trainer.train(dur_hparams)
 
     # Acoustic model on frame-level questions + fixture WORLD feats.
     am_hparams = AcousticModelTrainer.create_hparams()
-    am_hparams.num_questions = 409
+    am_hparams.num_questions = num_questions
     am_hparams.num_coded_sps = 20
     am_hparams.out_dir = str(tmp_path / "exp")
     am_hparams.model_name = "am"
@@ -72,11 +69,11 @@ def test_run_dm_am(fixtures_dir, tmp_path):
     am_hparams.use_best_as_final_model = False
     am_hparams.synth_fs = 16000
     am_trainer = AcousticModelTrainer(
-        am_hparams, ID_LIST,
+        am_hparams, list(id_list),
         dir_question_labels=os.path.join(fixtures_dir, "questions"),
         dir_world_features=os.path.join(fixtures_dir, "WORLD"))
     from idiaptts_tpu.models.rnn_dyn import convert_legacy_string
-    cfg = convert_legacy_string("RNNDYN-1_RELU_64-1_FC_67", 409)
+    cfg = convert_legacy_string("RNNDYN-1_RELU_64-1_FC_67", num_questions)
     cfg.input_names = ("questions",)
     cfg.output_names = ("pred_acoustic_features",)
     am_trainer.init(am_hparams, model_config=cfg)
@@ -89,7 +86,7 @@ def test_run_dm_am(fixtures_dir, tmp_path):
                             acoustic_trainer=am_trainer)
     tts_hparams.question_file = q_file
     paths = TTSModel.run_DM_AM(tts_hparams, label_dir=label_dir,
-                               id_list=ID_LIST[:2])
+                               id_list=id_list[:2])
     assert len(paths) == 2
     from idiaptts_tpu.ops.audio_io import get_raw
     for id_name, path in paths.items():

@@ -119,21 +119,21 @@ def test_durations_to_hard_attention_matrix():
     np.testing.assert_array_equal(A, expected)
 
 
-def test_duration_labelgen_fixtures(fixtures_dir):
+def test_duration_labelgen_fixtures(fixtures_dir, uid):
     import os
     dur = PhonemeDurationLabelGen.load_sample(
-        "LJ001-0001", os.path.join(fixtures_dir, "dur"))
+        uid, os.path.join(fixtures_dir, "dur"))
     assert dur.shape[1] == 5
     assert np.all(dur >= 0)
     # Durations from the state-aligned labels should match.
     dur2 = PhonemeDurationLabelGen.load_sample(
-        "LJ001-0001", os.path.join(fixtures_dir, "labels",
+        uid, os.path.join(fixtures_dir, "labels",
                                    "label_state_align"))
     assert dur2.shape == dur.shape
     np.testing.assert_allclose(dur, dur2, atol=1e-5)
 
 
-def test_phoneme_labelgen_fixtures(fixtures_dir):
+def test_phoneme_labelgen_fixtures(fixtures_dir, uid):
     import os
     from idiaptts_tpu.data.phonemes import PhonemeLabelGen
     config = PhonemeLabelGen.Config(
@@ -143,7 +143,7 @@ def test_phoneme_labelgen_fixtures(fixtures_dir):
                                       "mono_phone.list"),
         label_type="mono_no_align")
     reader = config.create_reader()
-    sample = reader["LJ001-0001"]
+    sample = reader[uid]
     ids = sample["phonemes"]
     assert ids.ndim == 2 and ids.shape[1] == 1
     assert ids.min() >= 0
@@ -155,7 +155,7 @@ def test_phoneme_labelgen_fixtures(fixtures_dir):
                                       "mono_phone.list"),
         label_type="mono_no_align", one_hot=True, add_EOF=True)
     reader2 = config2.create_reader()
-    one_hot = reader2["LJ001-0001"]["phonemes"]
+    one_hot = reader2[uid]["phonemes"]
     assert one_hot.shape == (len(ids) + 1, reader2.num_symbols)
     np.testing.assert_array_equal(one_hot.sum(1), 1.0)
     # state-align parsing gives the same phoneme count as durations.
@@ -166,9 +166,9 @@ def test_phoneme_labelgen_fixtures(fixtures_dir):
         file_symbol_dict=os.path.join(fixtures_dir, "labels",
                                       "mono_phone.list"),
         label_type="full_state_align")
-    ids3 = config3.create_reader()["LJ001-0001"]["phonemes"]
+    ids3 = config3.create_reader()[uid]["phonemes"]
     dur = PhonemeDurationLabelGen.load_sample(
-        "LJ001-0001", os.path.join(fixtures_dir, "dur"))
+        uid, os.path.join(fixtures_dir, "dur"))
     assert len(ids3) == len(dur)
 
 
@@ -208,3 +208,69 @@ def test_category_reader_one_hot():
     reader = config.create_reader()
     out = reader["x"]["speaker"]
     np.testing.assert_array_equal(out, [[0.0, 1.0, 0.0]])
+
+
+def test_multirate_lengths_plumbing():
+    """Multi-rate batches (frame-rate conditioning + sample-rate
+    waveform) keep per-feature lengths all the way into the model:
+    the handler passes the `_lengths` dict through and modules select
+    their own vector (reference prepare_batch per-reader lengths,
+    ModularModelHandlerPyTorch.py:388-465)."""
+    import jax.numpy as jnp
+    from idiaptts_tpu.data.dataset import collate_batch
+    from idiaptts_tpu.models.named import select_lengths
+    from idiaptts_tpu.train.handler import ModularModelHandler
+
+    rng = np.random.RandomState(0)
+    samples = [
+        {"cond": rng.randn(10, 4).astype(np.float32),
+         "wave": rng.randn(80, 1).astype(np.float32)},
+        {"cond": rng.randn(7, 4).astype(np.float32),
+         "wave": rng.randn(56, 1).astype(np.float32)},
+    ]
+    batch = collate_batch(samples, pad_to_bucket=False)
+    data, lengths = ModularModelHandler._batch_to_model_input(batch)
+    assert isinstance(lengths, dict)
+    np.testing.assert_array_equal(np.asarray(lengths["cond"]), [10, 7])
+    np.testing.assert_array_equal(np.asarray(lengths["wave"]), [80, 56])
+    # Modules pick the lengths of their own named features.
+    np.testing.assert_array_equal(
+        np.asarray(select_lengths(lengths, "wave")), [80, 56])
+    np.testing.assert_array_equal(
+        np.asarray(select_lengths(lengths, "missing", "cond")), [10, 7])
+    # Plain vectors pass through unchanged.
+    vec = jnp.asarray([3, 4])
+    assert select_lengths(vec, "anything") is vec
+
+
+def test_multirate_wavenet_masking_uses_target_lengths():
+    """A WaveNetWrapper in a multi-rate batch must mask at the waveform
+    rate: logits beyond the conditioning length but inside the target
+    length still receive gradients (would be zeroed if the conditioning
+    lengths were applied)."""
+    import jax
+    import jax.numpy as jnp
+    from idiaptts_tpu.models.wavenet import WaveNetWrapper
+
+    cfg = WaveNetWrapper.Config(
+        input_names=("cond",), output_names=("pred_logits",),
+        target_name="quantised", out_channels=16, residual_channels=4,
+        gate_channels=8, skip_channels=4, num_layers=2, num_stacks=1)
+    model = cfg.create_model()
+    B, T_cond, T_wav = 2, 5, 40
+    rng = np.random.RandomState(1)
+    data = {
+        "cond": jnp.asarray(rng.randn(B, T_wav, 3), jnp.float32),
+        "quantised": jnp.asarray(
+            rng.randint(0, 16, (B, T_wav)), jnp.int32),
+    }
+    lengths = {"cond": jnp.asarray([T_cond, T_cond]),
+               "quantised": jnp.asarray([T_wav, T_wav - 8])}
+    params = model.init(jax.random.PRNGKey(0), data, lengths=lengths,
+                        training=True)
+    out = model.apply(params, data, lengths=lengths, training=True)
+    logits = out["pred_logits"]
+    assert logits.shape == (B, T_wav, 16)
+    # Frames past the conditioning length are still computed (nonzero)
+    # because masking follows the waveform lengths.
+    assert np.abs(np.asarray(logits[:, T_cond + 1:T_wav - 8])).max() > 0

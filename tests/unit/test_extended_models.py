@@ -152,7 +152,7 @@ def test_gamma_atom_curve():
     assert 1.8 < norm <= 2.0 + 1e-6
 
 
-def test_atom_labelgen_fixtures(fixtures_dir):
+def test_atom_labelgen_fixtures(fixtures_dir, uid):
     thetas = (0.03, 0.06, 0.09, 0.12, 0.15)
     config = AtomLabelGen.Config(
         name="atoms",
@@ -160,24 +160,26 @@ def test_atom_labelgen_fixtures(fixtures_dir):
             fixtures_dir, "wcad-0.030_0.060_0.090_0.120_0.150"),
         thetas=thetas)
     reader = config.create_reader()
-    labels = reader.load("LJ001-0001")
-    assert labels.shape == (1931, 5, 2)
+    labels = reader.load(uid)
+    T = len(labels)
+    assert labels.shape == (T, 5, 2)
     amps = reader.preprocess_sample(labels)
-    assert amps.shape == (1931, 5)
+    assert amps.shape == (T, 5)
     # postprocess denormalises back to the raw spike amplitudes.
     restored = reader.postprocess_sample(amps, identify_peaks=False)
     np.testing.assert_allclose(restored[:, :, 0], labels[:, :, 0],
                                atol=1e-4)
-    # Reconstruction gives a plausible lf0 deviation curve.
-    lf0 = AtomLabelGen.labels_to_lf0(labels, k=6)
-    assert lf0.shape == (1931,)
+    # Reconstruction gives a plausible lf0 deviation curve (the corpus
+    # decomposition keeps small-amplitude atoms, min_amp=0.08).
+    lf0 = AtomLabelGen.labels_to_lf0(labels, k=6, amp_threshold=0.05)
+    assert lf0.shape == (T,)
     assert np.abs(lf0).max() > 0.01
     # phrase curve available
-    phrase = reader.load_phrase("LJ001-0001")
-    assert phrase.shape == (1931, 1)
+    phrase = reader.load_phrase(uid)
+    assert phrase.shape == (T, 1)
 
 
-def test_atom_reconstruction_correlates_with_lf0(fixtures_dir):
+def test_atom_reconstruction_correlates_with_lf0(fixtures_dir, uid):
     """atoms + phrase should approximate the true lf0 on voiced frames
     (the GCR decomposition the wcad tool performed)."""
     thetas = (0.03, 0.06, 0.09, 0.12, 0.15)
@@ -187,13 +189,16 @@ def test_atom_reconstruction_correlates_with_lf0(fixtures_dir):
             fixtures_dir, "wcad-0.030_0.060_0.090_0.120_0.150"),
         thetas=thetas)
     reader = config.create_reader()
-    labels = reader.load("LJ001-0001")
-    phrase = reader.load_phrase("LJ001-0001")[:, 0]
-    recon = AtomLabelGen.labels_to_lf0(labels, k=6)
-    lf0 = np.fromfile(os.path.join(fixtures_dir, "WORLD", "lf0",
-                                   "LJ001-0001.lf0"), np.float32)
-    vuv = np.fromfile(os.path.join(fixtures_dir, "WORLD", "vuv",
-                                   "LJ001-0001.vuv"), np.float32)
+    labels = reader.load(uid)
+    phrase = reader.load_phrase(uid)[:, 0]
+    recon = AtomLabelGen.labels_to_lf0(labels, k=6, amp_threshold=0.05)
+
+    def _stream(sub, ext):
+        archive = np.load(os.path.join(fixtures_dir, "WORLD", sub,
+                                       uid + ".npz"))
+        return archive[list(archive.keys())[0]].reshape(-1)
+    lf0 = _stream("lf0", ".lf0")
+    vuv = _stream("vuv", ".vuv")
     voiced = vuv > 0
     # Atoms model the lf0 residual after removing the phrase curve.
     target = lf0 - phrase
@@ -372,7 +377,8 @@ def test_wavenet_vocoder_checkpoint_and_synthesiser(tmp_path):
     assert len(get_raw(out["uttA"])[0]) == 120
     assert len(get_raw(out["uttB"])[0]) == 75
 
-def test_synthesiser_copy_synth_and_gl_on_log(fixtures_dir, tmp_path):
+def test_synthesiser_copy_synth_and_gl_on_log(fixtures_dir, id_list,
+                                              tmp_path):
     """Synthesiser.copy_synth (WORLD + raw paths) and
     run_griffin_lim_on_log (Synthesiser.py:110-166, :320-322 roles)."""
     import os
@@ -385,15 +391,15 @@ def test_synthesiser_copy_synth_and_gl_on_log(fixtures_dir, tmp_path):
     hp.synth_fs = 16000
     hp.synth_dir = str(tmp_path)
     paths = Synthesiser.copy_synth(
-        hp, ["LJ001-0002"], feature_dir=os.path.join(fixtures_dir,
+        hp, [id_list[1]], feature_dir=os.path.join(fixtures_dir,
                                                      "WORLD"))
-    raw, fs = get_raw(paths["LJ001-0002"])
+    raw, fs = get_raw(paths[id_list[1]])
     assert np.sqrt((raw ** 2).mean()) > 0.01
     hp.synth_vocoder = "raw"
     paths = Synthesiser.copy_synth(
-        hp, ["LJ001-0003"],
+        hp, [id_list[2]],
         feature_dir=os.path.join(fixtures_dir, "database", "wav"))
-    assert os.path.isfile(paths["LJ001-0003"])
+    assert os.path.isfile(paths[id_list[2]])
     amp = np.abs(np.random.RandomState(0).randn(60, 513)) + 0.1
     paths = Synthesiser.run_griffin_lim_on_log(
         {"gl": np.log(amp).astype(np.float32)}, hp)

@@ -11,29 +11,28 @@ from idiaptts_tpu.data.questions import QuestionSet, _parse_state_label
 
 
 @pytest.fixture(scope="module")
-def question_set(fixtures_dir):
-    return QuestionSet(os.path.join(fixtures_dir,
-                                    "questions-en-radio_dnn_400.hed"))
+def question_set(question_file):
+    return QuestionSet(question_file)
 
 
 def test_native_builds(question_set):
     native = question_set.native()
     if native is None:
         pytest.skip("native toolchain unavailable")
-    assert native.dict_size == question_set.dict_size == 400
+    assert native.dict_size == question_set.dict_size
 
 
-def test_native_parity_all_fixture_labels(fixtures_dir, question_set):
+def test_native_parity_all_fixture_labels(fixtures_dir, id_list,
+                                           question_set):
     native = question_set.native()
     if native is None:
         pytest.skip("native toolchain unavailable")
     labels = []
-    for i in range(1, 10):
+    for utt in id_list:
         phones = _parse_state_label(os.path.join(
-            fixtures_dir, "labels", "label_state_align",
-            "LJ001-000{}.lab".format(i)))
+            fixtures_dir, "labels", "label_state_align", utt + ".lab"))
         labels += [p[0] for p in phones]
-    assert len(labels) > 500
+    assert len(labels) > 50
     for label in labels:
         py = question_set.match(label)
         nat = native.match(label)
@@ -49,7 +48,7 @@ def test_native_match_many(question_set):
               "$xx-xx>xx-xx<xx-xx|xx/C/1+1+5/D/0_0/E/xx+xx:xx+xx&xx+xx"
               "#xx+xx/F/content_2/G/0_0/H/xx=xx:1=5&0/I/2_1/J/38+27-5"]
     batch = native.match_many(labels * 3)
-    assert batch.shape == (3, 400)
+    assert batch.shape == (3, question_set.dict_size)
     np.testing.assert_allclose(batch[0], question_set.match(labels[0]),
                                atol=1e-6)
 

@@ -70,13 +70,14 @@ def test_combine_stats(tmp_path):
     np.testing.assert_allclose(mean, full.mean(0), rtol=1e-10)
 
 
-def test_load_legacy_bin_fixtures(fixtures_dir):
+def test_load_legacy_bin_fixtures(ref_fixtures_dir):
     """Reference-produced legacy .bin stat files load directly."""
-    msd = os.path.join(fixtures_dir, "WORLD", "mcep20", "mean-std_dev.bin")
+    msd = os.path.join(ref_fixtures_dir, "WORLD", "mcep20",
+                       "mean-std_dev.bin")
     mean, std = MeanStdDevExtractor.load(msd)
     assert mean.size == 20 and std.size == 20
     assert np.all(std > 0)
-    cov_path = os.path.join(fixtures_dir, "WORLD", "cmp_mcep20",
+    cov_path = os.path.join(ref_fixtures_dir, "WORLD", "cmp_mcep20",
                             "mcep20-mean-covariance.bin")
     mean_c, cov = MeanCovarianceExtractor.load(cov_path)
     assert cov.shape == (60, 60)

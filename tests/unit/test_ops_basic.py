@@ -95,8 +95,8 @@ def test_wav_roundtrip(tmp_path):
     np.testing.assert_allclose(back, raw, atol=1e-3)
 
 
-def test_fixture_wav_loads(fixtures_dir):
-    wav = os.path.join(fixtures_dir, "database", "wav", "LJ001-0001.wav")
+def test_fixture_wav_loads(fixtures_dir, uid):
+    wav = os.path.join(fixtures_dir, "database", "wav", uid + ".wav")
     raw, fs = audio_io.get_raw(wav)
     assert raw.ndim == 1 and len(raw) > fs  # > 1 second
     assert np.abs(raw).max() <= 1.0

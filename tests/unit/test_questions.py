@@ -31,47 +31,65 @@ def test_wildcards2regex():
 
 
 @pytest.mark.parametrize("utt", ["LJ001-0001", "LJ001-0002"])
-def test_bit_exact_vs_fixture_questions(fixtures_dir, utt):
+def test_bit_exact_vs_reference_questions(ref_fixtures_dir, utt):
     """The full frame-level question matrix equals the reference's
-    committed output exactly (409 dims: 400 questions + 9 subphone
-    features) — this exercises the NATIVE C++ matcher by default."""
+    committed Merlin output exactly (409 dims: 400 questions + 9
+    subphone features) — this exercises the NATIVE C++ matcher by
+    default."""
     label_dict, vmin, vmax = QuestionLabelGen.gen_data(
-        os.path.join(fixtures_dir, "labels", "label_state_align"),
-        os.path.join(fixtures_dir, "questions-en-radio_dnn_400.hed"),
+        os.path.join(ref_fixtures_dir, "labels", "label_state_align"),
+        os.path.join(ref_fixtures_dir, "questions-en-radio_dnn_400.hed"),
         dir_out=None, id_list=[utt], return_dict=True)
     mine = label_dict[utt]
-    ref = np.fromfile(os.path.join(fixtures_dir, "questions",
+    ref = np.fromfile(os.path.join(ref_fixtures_dir, "questions",
                                    utt + ".questions"),
                       np.float32).reshape(-1, 409)
     assert mine.shape == ref.shape
     np.testing.assert_array_equal(mine, ref)
 
 
-def test_subphone_feature_variants(fixtures_dir):
-    q_file = os.path.join(fixtures_dir,
-                          "questions-en-radio_dnn_400.hed")
+def test_bit_exact_vs_committed_corpus_questions(fixtures_dir, id_list,
+                                                 question_file,
+                                                 num_questions):
+    """Self-contained regression pin: regenerating the corpus question
+    matrices reproduces the committed fixture files bit-exactly."""
+    label_dict, vmin, vmax = QuestionLabelGen.gen_data(
+        os.path.join(fixtures_dir, "labels", "label_state_align"),
+        question_file, dir_out=None, id_list=id_list[:3],
+        return_dict=True)
+    for utt in id_list[:3]:
+        ref = np.fromfile(os.path.join(fixtures_dir, "questions",
+                                       utt + ".questions"),
+                          np.float32).reshape(-1, num_questions)
+        np.testing.assert_array_equal(label_dict[utt], ref)
+
+
+def test_subphone_feature_variants(fixtures_dir, uid, question_file,
+                                   num_questions):
     lab = os.path.join(fixtures_dir, "labels", "label_state_align",
-                       "LJ001-0002.lab")
+                       uid + ".lab")
+    base = num_questions - 9
     for feats, extra in [("full", 9), ("state_only", 1),
                          ("frame_only", 1), ("minimal_frame", 2),
                          ("coarse_coding", 4)]:
-        op = HTSLabelNormalisation(q_file, subphone_feats=feats)
+        op = HTSLabelNormalisation(question_file, subphone_feats=feats)
         out = op.load_labels_with_state_alignment(lab)
-        assert out.shape[1] == 400 + extra, feats
+        assert out.shape[1] == base + extra, feats
 
 
-def test_question_reader_with_minmax_norm(fixtures_dir):
+def test_question_reader_with_minmax_norm(fixtures_dir, uid,
+                                          num_questions):
     config = QuestionLabelGen.Config(
         name="questions",
         directory=os.path.join(fixtures_dir, "questions"),
-        num_questions=409)
+        num_questions=num_questions)
     reader = config.create_reader()
-    sample = reader["LJ001-0001"]["questions"]
+    sample = reader[uid]["questions"]
     # Min-max normalised to [0, 1] (state index 5 -> 1.0 etc.).
     assert sample.min() >= -1e-6
     assert sample.max() <= 1.0 + 1e-6
     denorm = reader.postprocess_sample(sample)
     ref = np.fromfile(os.path.join(fixtures_dir, "questions",
-                                   "LJ001-0001.questions"),
-                      np.float32).reshape(-1, 409)
+                                   uid + ".questions"),
+                      np.float32).reshape(-1, num_questions)
     np.testing.assert_allclose(denorm, ref, atol=1e-4)

@@ -18,13 +18,13 @@ from idiaptts_tpu.ops.world.d4c import (code_aperiodicity,
                                         decode_aperiodicity,
                                         get_num_aperiodicities)
 
-UTT = "LJ001-0001"
+REF_UTT = "LJ001-0001"
 
 
 @pytest.fixture(scope="module")
-def analysis(fixtures_dir):
+def analysis(fixtures_dir, uid):
     raw, fs = get_raw(os.path.join(fixtures_dir, "database", "wav",
-                                   UTT + ".wav"))
+                                   uid + ".wav"))
     raw = raw[:fs * 4]
     f0 = extract_f0(raw, fs)
     sp = np.asarray(cheaptrick(raw, f0, fs))
@@ -32,17 +32,36 @@ def analysis(fixtures_dir):
     return raw, fs, f0, sp, ap
 
 
-def test_f0_parity_with_reference(fixtures_dir):
+def test_f0_matches_generating_parameters(fixtures_dir, id_list):
+    """Self-contained ground-truth check: F0 extracted from the corpus
+    wavs matches the known generating contour (the corpus is synthesised
+    from stored parameters; see tools/create_fixtures.py)."""
+    for utt in id_list[:3]:
+        raw, fs = get_raw(os.path.join(fixtures_dir, "database", "wav",
+                                       utt + ".wav"))
+        f0 = extract_f0(raw, fs)
+        params = np.load(os.path.join(fixtures_dir, "params",
+                                      utt + ".npz"))
+        f0_true = params["f0"]
+        n = min(len(f0), len(f0_true))
+        both = (f0[:n] > 0) & (f0_true[:n] > 0)
+        err = np.abs(f0[:n][both] - f0_true[:n][both])
+        assert np.median(err) < 2.0, np.median(err)
+        agree = ((f0[:n] > 0) == (f0_true[:n] > 0)).mean()
+        assert agree > 0.85, agree
+
+
+def test_f0_parity_with_reference(ref_fixtures_dir):
     """VUV agreement and voiced RMSE against the reference's
     DIO+StoneMask lf0/vuv tracks."""
     agree, rmse, gpe = [], [], []
     for utt in ["LJ001-0001", "LJ001-0002", "LJ001-0003"]:
-        raw, fs = get_raw(os.path.join(fixtures_dir, "database", "wav",
-                                       utt + ".wav"))
+        raw, fs = get_raw(os.path.join(ref_fixtures_dir, "database",
+                                       "wav", utt + ".wav"))
         f0 = extract_f0(raw, fs)
-        lf0 = np.fromfile(os.path.join(fixtures_dir, "WORLD", "lf0",
+        lf0 = np.fromfile(os.path.join(ref_fixtures_dir, "WORLD", "lf0",
                                        utt + ".lf0"), dtype=np.float32)
-        vuv = np.fromfile(os.path.join(fixtures_dir, "WORLD", "vuv",
+        vuv = np.fromfile(os.path.join(ref_fixtures_dir, "WORLD", "vuv",
                                        utt + ".vuv"), dtype=np.float32)
         n = min(len(f0), len(lf0))
         assert abs(len(f0) - len(lf0)) <= 1  # frame-count convention
@@ -87,18 +106,28 @@ def test_cheaptrick_shapes_and_positivity(analysis):
     assert dyn.max() < 95.0
 
 
-def test_bap_scale_matches_reference(fixtures_dir, analysis):
+def test_bap_coding_contract(analysis):
     raw, fs, f0, sp, ap = analysis
     assert ap.shape[1] == get_num_aperiodicities(fs) == 1
     bap = np.asarray(code_aperiodicity(ap))
-    bref = np.fromfile(os.path.join(fixtures_dir, "WORLD", "bap",
-                                    UTT + ".bap"),
-                       dtype=np.float32)[:len(f0)]
     voiced = f0 > 0
-    assert abs(np.median(bap[voiced]) - np.median(bref[voiced])) < 2.0
     assert np.all(bap <= 0) and np.all(bap >= np.log(1e-9) - 1e-3)
     # Unvoiced fully aperiodic.
     assert np.allclose(bap[~voiced], 0.0, atol=1e-4)
+
+
+def test_bap_scale_matches_reference(ref_fixtures_dir):
+    raw, fs = get_raw(os.path.join(ref_fixtures_dir, "database", "wav",
+                                   REF_UTT + ".wav"))
+    raw = raw[:fs * 4]
+    f0 = extract_f0(raw, fs)
+    ap = np.asarray(d4c_band_aperiodicity(raw, f0, fs))
+    bap = np.asarray(code_aperiodicity(ap))
+    bref = np.fromfile(os.path.join(ref_fixtures_dir, "WORLD", "bap",
+                                    REF_UTT + ".bap"),
+                       dtype=np.float32)[:len(f0)]
+    voiced = f0 > 0
+    assert abs(np.median(bap[voiced]) - np.median(bref[voiced])) < 2.0
 
 
 def test_decode_aperiodicity_anchors():
