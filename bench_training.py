@@ -92,6 +92,64 @@ def main():
                       "unit": "frames/sec per chip",
                       "vs_baseline": None}))
 
+    _bench_reference_surface_synth()
+
+
+def _bench_reference_surface_synth():
+    """trainer.synth through the reference-surface API (fused
+    model+MLPG+vocoder jit + wav file writing) on the fixture corpus.
+    Unlike bench.py this includes the device->host waveform transfer
+    and PCM16 encoding — the number a user of trainer.synth sees."""
+    import time
+
+    fixtures = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "tests", "fixtures")
+    if not os.path.isdir(fixtures):
+        return
+    from idiaptts_tpu.data.questions import QuestionSet
+    from idiaptts_tpu.models.rnn_dyn import convert_legacy_string
+    from idiaptts_tpu.ops.audio_io import get_raw
+    from idiaptts_tpu.train.acoustic import AcousticModelTrainer
+
+    num_questions = QuestionSet(os.path.join(
+        fixtures, "questions-gen_dnn.hed")).dict_size + 9
+    with open(os.path.join(fixtures, "file_id_list.txt")) as f:
+        ids = [line.strip() for line in f if line.strip()]
+    hparams = AcousticModelTrainer.create_hparams()
+    hparams.num_questions = num_questions
+    hparams.num_coded_sps = 20
+    hparams.out_dir = "/tmp/bench_ref_surface"
+    hparams.model_name = "bench"
+    hparams.epochs = 0
+    hparams.seed = 1
+    hparams.test_set_perc = 0.0
+    hparams.val_set_perc = 0.25
+    hparams.use_best_as_final_model = False
+    hparams.synth_fs = 16000
+    hparams.synth_dir = "/tmp/bench_ref_surface/wavs"
+    trainer = AcousticModelTrainer(
+        hparams, ids,
+        dir_question_labels=os.path.join(fixtures, "questions"),
+        dir_world_features=os.path.join(fixtures, "WORLD"))
+    cfg = convert_legacy_string(
+        "RNNDYN-2_RELU_1024-3_BiLSTM_512-1_FC_67", num_questions)
+    cfg.input_names = ("questions",)
+    cfg.output_names = ("pred_acoustic_features",)
+    trainer.init(hparams, model_config=cfg)
+
+    paths = trainer.synth(hparams, ids)      # warmup / compile
+    runs = 3
+    t0 = time.time()
+    for _ in range(runs):
+        paths = trainer.synth(hparams, ids)
+    elapsed = (time.time() - t0) / runs
+    audio_seconds = sum(len(get_raw(p)[0]) / 16000.0
+                        for p in paths.values())
+    print(json.dumps({"metric": "reference-surface synth throughput",
+                      "value": round(audio_seconds / elapsed, 2),
+                      "unit": "x realtime per chip (incl. wav IO)",
+                      "vs_baseline": None}))
+
 
 if __name__ == "__main__":
     main()

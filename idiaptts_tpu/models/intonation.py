@@ -111,9 +111,11 @@ class ComplexFilterBank(nn.Module):
 
 class NeuralFilters(nn.Module):
     """End-to-end LF0 model: a (pre-trained) atom model produces
-    [vuv, amps..., pos] frames; the filter bank turns amplitude spikes
-    into the LF0 curve (NeuralFilters.py:57-82 semantics: output is
-    [lf0, vuv, amps...])."""
+    [amps..., pos, vuv] frames (this package's
+    AtomVUVDistPosLabelGen.preprocess layout; the reference orders it
+    [vuv, amps..., pos] — NeuralFilters.py:57-82); the filter bank
+    turns amplitude spikes into the LF0 curve.  Output is
+    [lf0, vuv, amps...]."""
 
     atom_model: nn.Module
     thetas: tuple
@@ -125,8 +127,9 @@ class NeuralFilters(nn.Module):
         out = self.atom_model(data_dict, lengths=lengths,
                               training=training)
         atoms_out = out[self._atom_output_name(out)]
-        vuv = atoms_out[..., 0:1]
-        amps = atoms_out[..., 1:-1]
+        num_thetas = len(self.thetas)
+        amps = atoms_out[..., :num_thetas]
+        vuv = atoms_out[..., -1:]
         moduli = tuple(theta_to_modulus(np.asarray(self.thetas)))
         if self.complex_poles:
             bank = ComplexFilterBank(moduli, self.phase_init,

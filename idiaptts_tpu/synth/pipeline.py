@@ -154,3 +154,72 @@ class FusedAcousticPipeline:
         wavs = np.asarray(wavs)
         return [wavs[i, :int(l) * self.hop]
                 for i, l in enumerate(lengths)]
+
+
+class BatchedWorldSynth:
+    """Batched WORLD synthesis from postprocessed statics: one jit
+    program per length bucket turns (B, T, D+2+NB) ``[coded_sp | lf0 |
+    vuv | bap]`` into (B, T*hop) waveforms — a single device round trip
+    for the whole batch instead of the reference's per-utterance
+    mgc2sp/decode_ap/synthesize hops (Synthesiser.py:38-80).
+
+    This is the vocoder back half of :class:`FusedAcousticPipeline`,
+    exposed for the reference-surface ``Synthesiser.run_world_synth``
+    path (``trainer.synth``/``copy_synth``)."""
+
+    def __init__(self, num_coded_sps, fs=16000, frame_shift_ms=5.0,
+                 num_bap=1, post_filter=False, max_harmonics=112,
+                 bucket=256):
+        import jax
+        import jax.numpy as jnp
+        from idiaptts_tpu.ops.world.d4c import decode_aperiodicity
+        from idiaptts_tpu.ops.world.synthesis import (_harmonic_part,
+                                                      _noise_part)
+
+        self._jax = jax
+        self._jnp = jnp
+        self.fs = int(fs)
+        self.hop = int(fs * frame_shift_ms / 1000.0)
+        self.bucket = int(bucket)
+        D = self.num_coded_sps = int(num_coded_sps)
+        NB = self.num_bap = int(num_bap)
+        alpha = mcep_ops.fs_to_mgc_alpha(fs)
+        num_bins = mcep_ops.fs_to_frame_length(fs) // 2 + 1
+
+        def run(feats, f0_cont_b, key):
+            coded = feats[..., :D]
+            lf0 = feats[..., D]
+            vuv_b = feats[..., D + 1] > 0.5
+            bap = feats[..., D + 2:D + 2 + NB]
+            if post_filter:
+                coded = mcep_ops.merlin_post_filter(coded, alpha)
+
+            def per_utt(coded_u, lf0_u, vuv_u, bap_u, f0_cont):
+                amp = mcep_ops.mcep_to_amp_sp(coded_u, num_bins, alpha)
+                sp_power = amp ** 2
+                f0 = jnp.where(vuv_u, jnp.exp(lf0_u), 0.0)
+                ap = decode_aperiodicity(bap_u, num_bins, fs)
+                harm = _harmonic_part(f0, f0_cont, sp_power, ap, fs,
+                                      self.hop, max_harmonics)
+                noise = _noise_part(f0, sp_power, ap, fs, self.hop, key)
+                return harm + noise
+
+            return jax.vmap(per_utt)(coded, lf0, vuv_b, bap, f0_cont_b)
+
+        self._run = jax.jit(run)
+
+    def __call__(self, samples, seed=0):
+        """samples: list of (T_i, D+2+NB) static-feature arrays.
+        Returns a list of (T_i * hop,) float32 waveforms."""
+        jnp = self._jnp
+        lengths = np.array([len(s) for s in samples], np.int32)
+        T = int(np.ceil(max(lengths) / self.bucket) * self.bucket)
+        batch = np.zeros((len(samples), T, samples[0].shape[-1]),
+                         np.float32)
+        for i, s in enumerate(samples):
+            batch[i, :len(s)] = s
+        f0_cont = jnp.full((len(samples), T), 150.0, jnp.float32)
+        key = self._jax.random.PRNGKey(seed)
+        wavs = np.asarray(self._run(jnp.asarray(batch), f0_cont, key))
+        return [wavs[i, :int(l) * self.hop]
+                for i, l in enumerate(lengths)]

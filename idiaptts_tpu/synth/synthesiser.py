@@ -40,31 +40,42 @@ class Synthesiser:
         (Synthesiser.run_world_synth :38-80 role)."""
         fs = hparams.get("synth_fs", 16000)
         num_coded_sps = hparams.get("num_coded_sps", 60)
-        alpha = mcep_ops.fs_to_mgc_alpha(fs)
+        num_bap = hparams.get("num_bap", 1)
+        post_filter = bool(hparams.get("do_post_filtering"))
+        # One fused jit program per bucket synthesises the WHOLE batch
+        # in a single device round trip (the reference loops pysptk /
+        # pyworld per utterance).
+        synth = Synthesiser._batched_world_synth(
+            num_coded_sps, fs, hparams.get("frame_size_ms", 5),
+            num_bap, post_filter)
+        ids = list(synth_output)
+        samples = [np.asarray(synth_output[i], np.float32)[
+            :, :num_coded_sps + 2 + num_bap] for i in ids]
+        wavs = synth(samples)
+        suffix = "_e{}".format(epoch) if epoch is not None else ""
+        if use_model_name and hparams.get("model_name"):
+            suffix += "_" + str(hparams.model_name)
         paths = {}
-        for id_name, sample in synth_output.items():
-            sample = np.asarray(sample)
-            coded_sp, lf0, vuv, bap = \
-                WorldFeatLabelGen.convert_to_world_features(
-                    sample, contains_deltas=False,
-                    num_coded_sps=num_coded_sps)
-            if hparams.get("do_post_filtering"):
-                import jax.numpy as jnp
-                coded_sp = np.asarray(mcep_ops.merlin_post_filter(
-                    jnp.asarray(coded_sp), alpha))
-            amp_sp = WorldFeatLabelGen.mcep_to_amp_sp(coded_sp, fs,
-                                                      alpha)
-            raw = WorldFeatLabelGen.world_features_to_raw(
-                amp_sp, lf0, vuv, bap, fs,
-                hparams.get("frame_size_ms", 5))
-            suffix = "_e{}".format(epoch) if epoch is not None else ""
-            if use_model_name and hparams.get("model_name"):
-                suffix += "_" + str(hparams.model_name)
+        for id_name, raw in zip(ids, wavs):
             path = Synthesiser._out_path(id_name, hparams, suffix)
             audio_io.raw_to_file(path, _norm_loudness(raw), fs)
             logger.info("Wrote %s", path)
             paths[id_name] = path
         return paths
+
+    _world_synth_cache = {}
+
+    @staticmethod
+    def _batched_world_synth(num_coded_sps, fs, frame_size_ms, num_bap,
+                             post_filter):
+        from idiaptts_tpu.synth.pipeline import BatchedWorldSynth
+        key = (num_coded_sps, fs, frame_size_ms, num_bap, post_filter)
+        cache = Synthesiser._world_synth_cache
+        if key not in cache:
+            cache[key] = BatchedWorldSynth(
+                num_coded_sps, fs, frame_size_ms, num_bap=num_bap,
+                post_filter=post_filter)
+        return cache[key]
 
     @staticmethod
     def run_raw_synth(synth_output, hparams, epoch=None):

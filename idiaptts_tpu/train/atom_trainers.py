@@ -230,23 +230,71 @@ class AtomVUVDistPosModelTrainer(AtomModelTrainer):
         return tuple(metrics.get_cum_values())
 
 
+def _adopt_submodule_params(params, path, donor):
+    """Return ``params`` with the subtree at ``path`` replaced by the
+    donor tree (weight transfer between the standalone sub-trainer and
+    the composed model; the flax scope of a bound submodule is its
+    attribute name, so the standalone model's whole param tree slots in
+    under that key)."""
+    import flax
+    import jax
+    import jax.numpy as jnp
+    params = flax.core.unfreeze(params) if hasattr(params, "unfreeze") \
+        else dict(params)
+    node = params
+    for key in path[:-1]:
+        node[key] = dict(node[key])
+        node = node[key]
+    donor = flax.core.unfreeze(donor) if hasattr(donor, "unfreeze") \
+        else donor
+    # Deep-copy the donor leaves: the jitted train steps donate their
+    # parameter buffers, so aliasing the donor's arrays would leave one
+    # of the two models holding deleted buffers after the next step.
+    node[path[-1]] = jax.tree_util.tree_map(jnp.copy, donor)
+    return params
+
+
 class AtomNeuralFilterModelTrainer(AtomVUVDistPosModelTrainer):
     """End-to-end LF0 via trainable intonation filters on top of a
     pre-trained atom model (AtomNeuralFilterModelTrainer.py:36-463).
 
     Two-phase training: ``init_atom``/``train_atom`` pre-train the atom
-    sub-model, then the full model trains end-to-end on LF0."""
+    sub-model (its weights are adopted into the composed model), then
+    the full model trains end-to-end on (flat) LF0 targets."""
 
-    def __init__(self, *args, **kwargs):
+    #: flax scope of the atom sub-model inside NeuralFilters.
+    ATOM_SCOPE = ("atom_model",)
+
+    def __init__(self, *args, flat_lf0=True, **kwargs):
         super().__init__(*args, **kwargs)
         self.atom_trainer = None
+        # Flat targets (phrase curve removed, FlatLF0LabelGen.py:22-47)
+        # are the reference default for this trainer.
+        self.flat_lf0 = flat_lf0
 
-    def init_atom(self, hparams, atom_trainer):
-        """Attach (and optionally pre-train) the atom sub-trainer."""
-        self.atom_trainer = atom_trainer
-
-    def train_atom(self, hparams):
-        return self.atom_trainer.train(hparams)
+    # -- data/model/loss defaults -----------------------------------------
+    def default_data_reader_configs(self, hparams):
+        from idiaptts_tpu.data.lf0 import FlatLF0LabelGen, LF0LabelGen
+        from idiaptts_tpu.data.reader import NpzDataReader
+        configs = super().default_data_reader_configs(hparams)
+        for config in configs:
+            config.match_length = ("lf0_vuv_target",)
+        no_norm = NpzDataReader.Config.NormType.NONE
+        if self.flat_lf0:
+            lf0_config = FlatLF0LabelGen.Config(
+                name="lf0_vuv_target",
+                directory=self.dir_world_features,
+                dir_phrase=self.dir_atom_labels,
+                norm_type=no_norm,
+                match_length=("questions", "atoms"))
+        else:
+            lf0_config = LF0LabelGen.Config(
+                name="lf0_vuv_target",
+                directory=self.dir_world_features,
+                norm_type=no_norm,
+                match_length=("questions", "atoms"))
+        configs.append(lf0_config)
+        return configs
 
     def build_model_config(self, hparams, atom_model_config):
         return NeuralFilters.Config(
@@ -264,20 +312,134 @@ class AtomNeuralFilterModelTrainer(AtomVUVDistPosModelTrainer):
             seq_mask="_seq_mask", reduction="mean_per_frame",
             weight_unvoiced=hparams.get("weight_unvoiced", 0.5))]
 
+    def init(self, hparams, model_config=None, loss_configs=None,
+             data_reader_configs=None, atom_model_config=None):
+        if data_reader_configs is None:
+            data_reader_configs = self.default_data_reader_configs(
+                hparams)
+        if model_config is None:
+            if atom_model_config is None:
+                donor = getattr(self.atom_trainer, "model_handler",
+                                None)
+                if donor is not None and donor.model_config is not None:
+                    atom_model_config = donor.model_config
+                else:
+                    raise ValueError(
+                        "Need atom_model_config (or init_atom with an "
+                        "initialised atom trainer) to build the neural"
+                        " filter model.")
+            model_config = self.build_model_config(hparams,
+                                                   atom_model_config)
+        if loss_configs is None:
+            loss_configs = self.default_loss_configs(hparams)
+        return ModularTrainer.init(self, hparams, model_config,
+                                   loss_configs, data_reader_configs)
+
+    # -- two-phase training -------------------------------------------------
+    def init_atom(self, hparams, atom_trainer):
+        """Attach the (initialised) atom sub-trainer
+        (AtomNeuralFilterModelTrainer.init_atom :162 role)."""
+        self.atom_trainer = atom_trainer
+
+    def train_atom(self, hparams):
+        """Phase 1: pre-train the atom sub-model, then adopt its
+        weights into the composed model (train_atom :180-198 role)."""
+        result = self.atom_trainer.train(hparams)
+        self.adopt_atom_params()
+        return result
+
+    def adopt_atom_params(self):
+        handler = self.model_handler
+        donor = self.atom_trainer.model_handler.params
+        handler.params = _adopt_submodule_params(
+            handler.params, self.ATOM_SCOPE, donor)
+        if handler.optimiser is not None:
+            handler.opt_state = handler.optimiser.init(handler.params)
+
+    # -- benchmark ----------------------------------------------------------
+    def compute_score(self, hparams, results):
+        """F0 benchmark on the end-to-end LF0 output (compute_score of
+        the reference e2e trainers): prediction is
+        [lf0, vuv, amps...]; flat models get the stored phrase curve
+        added back before comparison with the original track."""
+        metric_names = hparams.get("metrics",
+                                   [Metrics.F0_RMSE, Metrics.VDE])
+        metrics = Metrics(metric_names)
+        reader = self.datareaders["atoms"]
+        output_name = \
+            self.model_handler.model_config.output_names[0]
+        for id_name, sample in results.items():
+            pred = np.asarray(sample[output_name])
+            lf0_pred = pred[:, 0]
+            vuv_pred = (pred[:, 1] > 0.5).astype(float)
+            if self.flat_lf0:
+                try:
+                    phrase = reader.load_phrase(id_name)[:, 0]
+                    n = min(len(lf0_pred), len(phrase))
+                    lf0_pred = lf0_pred[:n] + phrase[:n]
+                except FileNotFoundError:
+                    pass
+            lf0, vuv = self._load_org_lf0(id_name, len(lf0_pred))
+            n = min(len(lf0_pred), len(lf0))
+            metrics.accumulate(id_name, Metrics.get_metrics(
+                metric_names, org_lf0=lf0[:n], org_vuv=vuv[:n],
+                output_lf0=lf0_pred[:n], output_vuv=vuv_pred[:n]))
+        metrics.log()
+        return tuple(metrics.get_cum_values())
+
 
 class PhraseAtomNeuralFilterModelTrainer(AtomNeuralFilterModelTrainer):
-    """Adds the phrase-bias filter; trains on flat LF0 targets
-    (PhraseAtomNeuralFilterModelTrainer.py:37-617)."""
+    """Adds the phrase-bias filter; the flat model's weights seed the
+    phrase model, which then trains end-to-end on the FULL LF0 track
+    (PhraseAtomNeuralFilterModelTrainer.py:37-617, two-phase
+    ``init_flat``/``train_flat`` :168-213)."""
+
+    #: flax scope of the flat NeuralFilters model inside
+    #: PhraseNeuralFilters.
+    FLAT_SCOPE = ("neural_filters",)
 
     def __init__(self, *args, **kwargs):
+        kwargs.setdefault("flat_lf0", False)  # trains on full LF0
         super().__init__(*args, **kwargs)
         self.flat_trainer = None
 
     def init_flat(self, hparams, flat_trainer):
+        """Attach the flat (phrase-less) sub-trainer
+        (init_flat :168-182 role)."""
         self.flat_trainer = flat_trainer
 
     def train_flat(self, hparams):
-        return self.flat_trainer.train(hparams)
+        """Phase 2: train the flat model on flat-LF0 targets, then
+        adopt its weights into the phrase model
+        (train_flat :207-213 role)."""
+        result = self.flat_trainer.train(hparams)
+        self.adopt_flat_params()
+        return result
+
+    def train_atom(self, hparams):
+        """Phase 1 delegates to the flat trainer's atom stage
+        (train_atom :215 role)."""
+        result = self.flat_trainer.train_atom(hparams)
+        self.adopt_flat_params()
+        return result
+
+    def adopt_flat_params(self):
+        handler = self.model_handler
+        donor = self.flat_trainer.model_handler.params
+        handler.params = _adopt_submodule_params(
+            handler.params, self.FLAT_SCOPE, donor)
+        if handler.optimiser is not None:
+            handler.opt_state = handler.optimiser.init(handler.params)
+
+    def init(self, hparams, model_config=None, loss_configs=None,
+             data_reader_configs=None, atom_model_config=None):
+        if atom_model_config is None and model_config is None \
+                and self.flat_trainer is not None \
+                and self.flat_trainer.atom_trainer is not None:
+            atom_model_config = self.flat_trainer.atom_trainer \
+                .model_handler.model_config
+        return super().init(hparams, model_config, loss_configs,
+                            data_reader_configs, atom_model_config)
 
     def build_model_config(self, hparams, atom_model_config):
         nf_config = super().build_model_config(hparams,
@@ -288,3 +450,10 @@ class PhraseAtomNeuralFilterModelTrainer(AtomNeuralFilterModelTrainer):
             phrase_bias_init=hparams.get("phrase_bias_init", 4.5),
             input_names=nf_config.input_names,
             output_names=("pred_intonation_phrase",))
+
+    def default_loss_configs(self, hparams):
+        return [NamedLoss.Config(
+            "lf0_vuv_phrase", "L1WeightedVUVMSELoss",
+            ("pred_intonation_phrase", "lf0_vuv_target"),
+            seq_mask="_seq_mask", reduction="mean_per_frame",
+            weight_unvoiced=hparams.get("weight_unvoiced", 0.5))]

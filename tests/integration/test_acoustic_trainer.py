@@ -98,3 +98,25 @@ def test_gen_figure(trainer_and_hparams, tmp_path):
     hparams.synth_dir = str(tmp_path / "figs")
     paths = trainer.gen_figure(hparams, trainer.id_list_train[:1])
     assert all(os.path.isfile(p) for p in paths)
+
+
+def test_fused_synth_matches_modular_path(trainer_and_hparams, tmp_path):
+    """The fused one-program synth (model+MLPG+vocoder in a single jit)
+    writes waveforms equivalent in duration and scale to the per-stage
+    modular path."""
+    trainer, hparams = trainer_and_hparams
+    ids = trainer.id_list_train[:2]
+    from idiaptts_tpu.ops.audio_io import get_raw
+
+    hparams.synth_dir = str(tmp_path / "fused")
+    hparams.use_fused_synth = True
+    fused = trainer.synth(hparams, ids)
+    hparams.synth_dir = str(tmp_path / "classic")
+    hparams.use_fused_synth = False
+    classic = trainer.synth(hparams, ids)
+    assert set(fused) == set(classic)
+    for id_name in fused:
+        a, fs_a = get_raw(fused[id_name])
+        b, fs_b = get_raw(classic[id_name])
+        assert fs_a == fs_b
+        assert len(a) == len(b)

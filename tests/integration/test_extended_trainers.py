@@ -263,3 +263,102 @@ def test_tensor_parallel_trainer_surface(fixtures_dir, id_list,
     # acoustic trainer tests.
     np.testing.assert_allclose(losses["dp"], losses["tp"], rtol=0.05)
     assert np.all(np.isfinite(losses["tp"]))
+
+
+def test_phrase_atom_two_phase_pipeline(fixtures_dir, id_list,
+                                        num_questions, tmp_path):
+    """Full phrase-atom stack (VERDICT r1 item 8): phase 0 pre-trains
+    the atom model, phase 1 trains the neural filters on FLAT LF0
+    targets (phrase curve removed), phase 2 adopts those weights into
+    the PhraseNeuralFilters model and trains end-to-end on the full
+    LF0 track (reference PhraseAtomNeuralFilterModelTrainer.py:168-213
+    init_flat/train_flat flow)."""
+    import jax
+    from idiaptts_tpu.models.rnn_dyn import convert_legacy_string
+    from idiaptts_tpu.train.atom_trainers import (
+        AtomNeuralFilterModelTrainer, AtomVUVDistPosModelTrainer,
+        PhraseAtomNeuralFilterModelTrainer)
+
+    dirs = dict(
+        dir_question_labels=os.path.join(fixtures_dir, "questions"),
+        dir_atom_labels=os.path.join(
+            fixtures_dir, "wcad-0.030_0.060_0.090_0.120_0.150"),
+        dir_world_features=os.path.join(fixtures_dir, "WORLD"))
+
+    def base_hparams(cls, name, epochs):
+        hp = cls.create_hparams()
+        hp.num_questions = num_questions
+        hp.thetas = THETAS
+        hp.out_dir = str(tmp_path / name)
+        hp.model_name = name
+        hp.epochs = epochs
+        hp.batch_size_train = 3
+        hp.batch_size_val = 6
+        hp.learning_rate = 0.001
+        hp.seed = 1
+        hp.test_set_perc = 0.0
+        hp.val_set_perc = 0.25
+        hp.use_best_as_final_model = False
+        return hp
+
+    # Phase 0 setup: atom model with [amps(5), pos, vuv] outputs.
+    atom_hp = base_hparams(AtomVUVDistPosModelTrainer, "atoms", 1)
+    atom_trainer = AtomVUVDistPosModelTrainer(atom_hp, list(id_list),
+                                              **dirs)
+    atom_cfg = convert_legacy_string("RNNDYN-1_RELU_32-1_FC_7",
+                                     num_questions)
+    atom_cfg.input_names = ("questions",)
+    atom_cfg.output_names = ("pred_atoms",)
+    atom_trainer.init(atom_hp, model_config=atom_cfg)
+
+    # Phase 1 setup: flat neural-filter trainer (flat LF0 targets).
+    flat_hp = base_hparams(AtomNeuralFilterModelTrainer, "flat", 1)
+    flat_trainer = AtomNeuralFilterModelTrainer(flat_hp, list(id_list),
+                                                **dirs)
+    assert flat_trainer.flat_lf0
+    flat_trainer.init_atom(flat_hp, atom_trainer)
+    flat_trainer.init(flat_hp)
+
+    # Phase 2 setup: phrase model on the FULL LF0 track.
+    phrase_hp = base_hparams(PhraseAtomNeuralFilterModelTrainer,
+                             "phrase", 2)
+    # Start the phrase bias near the corpus's mean voiced lf0
+    # (log 190 Hz); the reference's default 4.5 fits its corpus.
+    phrase_hp.add_hparams(phrase_bias_init=5.2)
+    phrase_trainer = PhraseAtomNeuralFilterModelTrainer(
+        phrase_hp, list(id_list), **dirs)
+    assert not phrase_trainer.flat_lf0
+    phrase_trainer.init_flat(phrase_hp, flat_trainer)
+    phrase_trainer.init(phrase_hp)
+
+    # Run the three phases.
+    phrase_trainer.train_atom(atom_hp)
+
+    # Weight adoption after phase 0: the flat model's atom submodule
+    # equals the standalone atom trainer's trained parameters.
+    adopted = flat_trainer.model_handler.params["atom_model"]
+    donor = atom_trainer.model_handler.params
+    assert jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: bool(np.allclose(np.asarray(a), np.asarray(b))),
+        adopted, donor))
+
+    phrase_trainer.train_flat(flat_hp)
+
+    # After phase 1 the (fine-tuned) flat weights live inside the
+    # phrase model.
+    adopted = phrase_trainer.model_handler.params["neural_filters"]
+    donor = flat_trainer.model_handler.params
+    assert jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: bool(np.allclose(np.asarray(a), np.asarray(b))),
+        adopted, donor))
+
+    _, train_losses = phrase_trainer.train(phrase_hp)
+    assert np.all(np.isfinite(train_losses))
+
+    f0_rmse, vde = phrase_trainer.benchmark(
+        phrase_hp, phrase_trainer.id_list_train[:2])
+    # Loose bound: the reference's own (disabled) phrase test pins
+    # 1679 Hz on its undertrained fixtures
+    # (test_PhraseAtomNeuralFilterModelTrainer.py:224-232).
+    assert 0 < f0_rmse < 2500, f0_rmse
+    assert 0 <= vde <= 1
