@@ -93,3 +93,20 @@ def test_question_reader_with_minmax_norm(fixtures_dir, uid,
                                    uid + ".questions"),
                       np.float32).reshape(-1, num_questions)
     np.testing.assert_allclose(denorm, ref, atol=1e-4)
+
+
+def test_make_question_file_tool(tmp_path):
+    """tools/make_question_file.py generates a parseable QS/CQS set
+    (the shipped-question-file role of the reference's
+    scripts/tts_frontend/questions/*.hed assets)."""
+    import subprocess
+    import sys
+    out = tmp_path / "q.hed"
+    subprocess.run([sys.executable, "tools/make_question_file.py",
+                    "--phone_set", "arpabet", "--out", str(out)],
+                   check=True, cwd="/root/repo")
+    from idiaptts_tpu.data.questions import QuestionSet
+    qs = QuestionSet(str(out))
+    assert qs.dict_size > 200
+    answers = qs.match("sil~hh-ah+l=ow:1_5/A/v_vowel/B/1-3/J/5+2-1")
+    assert (answers != 0).sum() >= 5

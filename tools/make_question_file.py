@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Generate an HTS question file (.hed) for a phone set.
+
+Role parity with the reference's shipped front-end assets
+(``scripts/tts_frontend/questions/questions-en-radio_dnn_416.hed`` /
+``questions-en-unilex_dnn_600.hed``): those files are Festival-derived
+config data; this tool generates an equivalent QS/CQS question set for
+ANY phone inventory so the framework is usable without copying
+Festival assets.
+
+Question structure (HTS-standard label format
+``ll~l-c+r=rr:...`` with /A .. /J context blocks):
+
+* QS per phone at the five quinphone positions (LL, L, C, R, RR),
+* QS per phonetic class (vowel, nasal, fricative, plosive, liquid,
+  silence, voiced) at the C position — classes come from a class map
+  file or the built-in ARPABET preset,
+* CQS numeric context questions (position in phrase fw/bw, syllable
+  index, word length, phone count).
+
+Usage:
+  python tools/make_question_file.py --phone_set arpabet \
+      --out questions-en-arpabet_dnn.hed
+  python tools/make_question_file.py --phone_list my_phones.txt \
+      --class_map my_classes.tsv --out questions-custom.hed
+
+``--phone_list``: one phone per line (e.g. ``labels/mono_phone.list``).
+``--class_map``: lines of ``<phone>\t<class>[,voiced]``.
+"""
+
+import argparse
+
+# ARPABET inventory with phonetic classes (public phone set).
+ARPABET = {
+    "aa": ("vowel", True), "ae": ("vowel", True), "ah": ("vowel", True),
+    "ao": ("vowel", True), "aw": ("vowel", True), "ax": ("vowel", True),
+    "ay": ("vowel", True), "eh": ("vowel", True), "er": ("vowel", True),
+    "ey": ("vowel", True), "ih": ("vowel", True), "iy": ("vowel", True),
+    "ow": ("vowel", True), "oy": ("vowel", True), "uh": ("vowel", True),
+    "uw": ("vowel", True),
+    "b": ("plosive", True), "d": ("plosive", True), "g": ("plosive", True),
+    "p": ("plosive", False), "t": ("plosive", False),
+    "k": ("plosive", False),
+    "ch": ("affricate", False), "jh": ("affricate", True),
+    "dh": ("fricative", True), "f": ("fricative", False),
+    "s": ("fricative", False), "sh": ("fricative", False),
+    "th": ("fricative", False), "v": ("fricative", True),
+    "z": ("fricative", True), "zh": ("fricative", True),
+    "hh": ("fricative", False),
+    "m": ("nasal", True), "n": ("nasal", True), "ng": ("nasal", True),
+    "l": ("liquid", True), "r": ("liquid", True), "w": ("liquid", True),
+    "y": ("liquid", True),
+    "sil": ("silence", False), "pau": ("silence", False),
+    "sp": ("silence", False),
+}
+
+POSITION_PATTERNS = {
+    "LL": "{p}~*", "L": "*~{p}-*", "C": "*-{p}+*",
+    "R": "*+{p}=*", "RR": "*={p}:*"}
+
+CQS_QUESTIONS = [
+    ("Pos_C-Phone_Fw", r":(\d+)_"),
+    ("Pos_C-Phone_Bw", r"_(\d+)/A/"),
+    ("Syl_Idx", r"/B/(\d+)-"),
+    ("Word_Len", r"-(\d+)/J/"),
+    ("Num_Phones", r"/J/(\d+)+"),
+]
+
+
+def build_questions(phones, class_map):
+    """phones: iterable of names; class_map: {phone: (class, voiced)}.
+    Returns the .hed lines."""
+    lines = []
+    order = sorted(phones)
+    for pos, pattern in POSITION_PATTERNS.items():
+        for phone in order:
+            lines.append('QS "%s-%s" {%s}'
+                         % (pos, phone, pattern.format(p=phone)))
+    classes = {}
+    for phone in order:
+        cls, voiced = class_map.get(phone, ("other", False))
+        classes.setdefault(cls, []).append(phone)
+        if voiced:
+            classes.setdefault("voiced", []).append(phone)
+    for cls, members in sorted(classes.items()):
+        patterns = ",".join("*-%s+*" % m for m in sorted(set(members)))
+        lines.append('QS "C-%s" {%s}' % (cls, patterns))
+    for key, pattern in CQS_QUESTIONS:
+        lines.append('CQS "%s" {%s}' % (key, pattern))
+    return lines
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--phone_set", choices=["arpabet"], default=None)
+    parser.add_argument("--phone_list", default=None,
+                        help="file with one phone per line")
+    parser.add_argument("--class_map", default=None,
+                        help="TSV: phone<TAB>class[,voiced]")
+    parser.add_argument("--out", required=True)
+    args = parser.parse_args()
+
+    if args.phone_set == "arpabet":
+        class_map = dict(ARPABET)
+        phones = list(class_map)
+    elif args.phone_list:
+        with open(args.phone_list) as f:
+            phones = [line.strip() for line in f if line.strip()]
+        class_map = {}
+        if args.class_map:
+            with open(args.class_map) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    phone, spec = line.strip().split("\t", 1)
+                    parts = spec.split(",")
+                    class_map[phone] = (parts[0],
+                                        "voiced" in parts[1:])
+    else:
+        parser.error("need --phone_set or --phone_list")
+
+    lines = build_questions(phones, class_map)
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote {} questions to {}".format(len(lines), args.out))
+
+
+if __name__ == "__main__":
+    main()
