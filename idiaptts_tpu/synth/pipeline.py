@@ -33,7 +33,13 @@ class FusedAcousticPipeline:
 
     def __init__(self, model_apply, variances, num_coded_sps, fs=16000,
                  frame_shift_ms=5.0, num_bap=1, mean=None, scale=None,
-                 max_harmonics=112, bucket=256, num_bins=513):
+                 max_harmonics=112, bucket=256, num_bins=513,
+                 mesh=None, data_axis="data"):
+        """With ``mesh`` (a 1-D ``jax.sharding.Mesh``), serving scales
+        out over chips: the batch shards over ``data_axis`` on its
+        leading dim, parameters replicate, and each chip synthesises
+        its shard — no collectives on the forward path, so throughput
+        scales linearly over ICI-connected chips."""
         import jax
         import jax.numpy as jnp
         from idiaptts_tpu.ops.mlpg import mlpg_factorise, mlpg_solve
@@ -100,6 +106,13 @@ class FusedAcousticPipeline:
 
             return jax.vmap(per_utt)(smoothed, vuv_b, f0_cont_b)
 
+        self.mesh = mesh
+        self._batch_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            self._batch_sharding = NamedSharding(
+                mesh, PartitionSpec(data_axis))
+            self._replicated = NamedSharding(mesh, PartitionSpec())
         self._run = jax.jit(run)
 
     def _default_f0_cont(self, B, T):
@@ -146,8 +159,17 @@ class FusedAcousticPipeline:
         if f0_cont is None:
             f0_cont = self._default_f0_cont(batch.shape[0], T)
         key = self._jax.random.PRNGKey(seed)
-        wavs = self._run(params, jnp.asarray(batch),
-                         jnp.asarray(lengths), jnp.asarray(f0_cont),
+        batch_d = jnp.asarray(batch)
+        f0_cont_d = jnp.asarray(f0_cont)
+        if self._batch_sharding is not None \
+                and batch_d.shape[0] % self.mesh.devices.size == 0:
+            put = self._jax.device_put
+            batch_d = put(batch_d, self._batch_sharding)
+            f0_cont_d = put(f0_cont_d, self._batch_sharding)
+            params = self._jax.tree_util.tree_map(
+                lambda x: put(x, self._replicated), params)
+        wavs = self._run(params, batch_d,
+                         jnp.asarray(lengths), f0_cont_d,
                          factors, tau, key)
         if device_output:
             return wavs

@@ -30,6 +30,12 @@ class DataPlotter:
         self.annotations = {}
         self.atom_lists = {}
         self.labels = {}
+        self.limits = {}
+        self.linestyles = {}
+        self.colors = {}
+        self.linewidths = {}
+        self.hlines = {}
+        self.title = None
         self.num_colors = 10
         self.fig = None
         # Frames per second: when set, the x axis is rendered in
@@ -68,6 +74,32 @@ class DataPlotter:
 
     def set_label(self, grid_idx, xlabel=None, ylabel=None, title=None):
         self.labels[grid_idx] = (xlabel, ylabel, title)
+
+    def set_lim(self, grid_idx, xmin=None, xmax=None, ymin=None,
+                ymax=None):
+        """Axis limits per grid (reference set_lim :162-205)."""
+        self.limits[grid_idx] = (xmin, xmax, ymin, ymax)
+
+    def set_linestyles(self, grid_idx, linestyles):
+        self.linestyles[grid_idx] = list(linestyles)
+
+    def set_colors(self, grid_idx, colors):
+        self.colors[grid_idx] = list(colors) \
+            if not isinstance(colors, str) else [colors]
+
+    def set_linewidth(self, grid_idx, linewidth):
+        self.linewidths[grid_idx] = list(linewidth) \
+            if hasattr(linewidth, "__len__") else [linewidth]
+
+    def set_hlines(self, grid_idx, hlines):
+        """hlines: [(y, color, linestyle)] horizontal guide lines."""
+        self.hlines[grid_idx] = hlines
+
+    def set_title(self, title):
+        self.title = title
+
+    def set_num_colors(self, num):
+        self.num_colors = num
 
     # -- rendering --------------------------------------------------------
     def _max_length(self, grid_idx):
@@ -108,12 +140,29 @@ class DataPlotter:
                           interpolation="none", extent=extent)
                 if label:
                     ax.set_title(label)
-            for entry in self.data_lists.get(grid_idx, []):
+            styles = self.linestyles.get(grid_idx, [])
+            colors = self.colors.get(grid_idx, [])
+            widths = self.linewidths.get(grid_idx, [])
+            for k, entry in enumerate(self.data_lists.get(grid_idx,
+                                                          [])):
                 ydata, label = entry[0], entry[1] if len(entry) > 1 \
                     else None
                 xdata = entry[2] if len(entry) > 2 else \
                     self._times(len(ydata))
-                ax.plot(xdata, ydata, label=label, linewidth=0.8)
+                kwargs = {}
+                if k < len(styles):
+                    kwargs["linestyle"] = styles[k]
+                if k < len(colors):
+                    kwargs["color"] = colors[k]
+                ax.plot(xdata, ydata, label=label,
+                        linewidth=widths[k] if k < len(widths)
+                        else 0.8, **kwargs)
+            for hline in self.hlines.get(grid_idx, []):
+                y = hline[0]
+                ax.axhline(y, color=hline[1] if len(hline) > 1
+                           else "0.5",
+                           linestyle=hline[2] if len(hline) > 2
+                           else "--", linewidth=0.6)
             atoms = self.atom_lists.get(grid_idx, [])
             if atoms:
                 t = self._times(max_length)
@@ -143,8 +192,16 @@ class DataPlotter:
                 ax.set_ylabel(ylabel)
             if title:
                 ax.set_title(title)
+            xmin, xmax, ymin, ymax = self.limits.get(
+                grid_idx, (None, None, None, None))
+            if xmin is not None or xmax is not None:
+                ax.set_xlim(left=xmin, right=xmax)
+            if ymin is not None or ymax is not None:
+                ax.set_ylim(bottom=ymin, top=ymax)
             if self.data_lists.get(grid_idx):
                 ax.legend(loc="upper right", fontsize="x-small")
+        if self.title:
+            self.fig.suptitle(self.title)
         self.fig.tight_layout()
         return self.fig
 
