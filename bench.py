@@ -41,7 +41,7 @@ def _corpus():
         from idiaptts_tpu.data.questions import QuestionSet
         num_q = QuestionSet(os.path.join(
             _LOCAL_FIXTURES, "questions-gen_dnn.hed")).dict_size + 9
-        return _LOCAL_FIXTURES, ids, num_q, "file_id_list-"
+        return _LOCAL_FIXTURES, ids, num_q, ""
     raise RuntimeError("no fixture corpus found; run "
                        "tools/create_fixtures.py")
 

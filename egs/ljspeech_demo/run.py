@@ -78,13 +78,14 @@ def _dur_trainer(args, ids):
 
     # Phone-level questions (first frame of each phone).
     dir_q_phone = os.path.join(args.work_dir, "questions_phone")
+    num_questions = _num_questions(args)
     if not os.path.isdir(dir_q_phone):
         os.makedirs(dir_q_phone, exist_ok=True)
         extractor = MinMaxExtractor()
         for id_name in ids:
             q = QuestionLabelGen.load_sample(
                 id_name, os.path.join(args.work_dir, "questions"),
-                num_questions=_num_questions(args))
+                num_questions=num_questions)
             dur = PhonemeDurationLabelGen.load_sample(
                 id_name, os.path.join(args.work_dir, "dur"))
             frames = dur.sum(axis=1).astype(np.int64)
@@ -97,7 +98,7 @@ def _dur_trainer(args, ids):
         extractor.save(os.path.join(dir_q_phone, "all"))
 
     hparams = DurationModelTrainer.create_hparams()
-    hparams.num_questions = _num_questions(args)
+    hparams.num_questions = num_questions
     hparams.out_dir = os.path.join(args.work_dir, "dur_model")
     hparams.model_name = "duration"
     hparams.epochs = args.epochs
@@ -145,7 +146,8 @@ def stage4_acoustic(args, ids):
     if args.small_models:
         from idiaptts_tpu.models.rnn_dyn import convert_legacy_string
         cfg = convert_legacy_string(
-            "RNNDYN-1_RELU_128-1_BiLSTM_64-1_FC_67", NUM_QUESTIONS)
+            "RNNDYN-1_RELU_128-1_BiLSTM_64-1_FC_67",
+            _num_questions(args))
         cfg.input_names = ("questions",)
         cfg.output_names = ("pred_acoustic_features",)
         trainer.init(hparams, model_config=cfg)
@@ -160,7 +162,8 @@ def stage5_benchmark(args, ids):
     if args.small_models:
         from idiaptts_tpu.models.rnn_dyn import convert_legacy_string
         cfg = convert_legacy_string(
-            "RNNDYN-1_RELU_128-1_BiLSTM_64-1_FC_67", NUM_QUESTIONS)
+            "RNNDYN-1_RELU_128-1_BiLSTM_64-1_FC_67",
+            _num_questions(args))
         cfg.input_names = ("questions",)
         cfg.output_names = ("pred_acoustic_features",)
         trainer.init(hparams, model_config=cfg)
@@ -177,7 +180,8 @@ def stage6_synth(args, ids):
     if args.small_models:
         from idiaptts_tpu.models.rnn_dyn import convert_legacy_string
         cfg = convert_legacy_string(
-            "RNNDYN-1_RELU_128-1_BiLSTM_64-1_FC_67", NUM_QUESTIONS)
+            "RNNDYN-1_RELU_128-1_BiLSTM_64-1_FC_67",
+            _num_questions(args))
         cfg.input_names = ("questions",)
         cfg.output_names = ("pred_acoustic_features",)
         trainer.init(hparams, model_config=cfg)

@@ -17,6 +17,24 @@ import numpy as np
 from idiaptts_tpu.ops import mcep as mcep_ops
 
 
+def _vocode_one(coded, lf0, vuv, bap, f0_cont, key, fs, hop, num_bins,
+                alpha, max_harmonics):
+    """One utterance's WORLD vocoder body (traced inside jit; shared by
+    FusedAcousticPipeline and BatchedWorldSynth)."""
+    import jax.numpy as jnp
+    from idiaptts_tpu.ops.world.d4c import decode_aperiodicity
+    from idiaptts_tpu.ops.world.synthesis import (_harmonic_part,
+                                                  _noise_part)
+    amp = mcep_ops.mcep_to_amp_sp(coded, num_bins, alpha)
+    sp_power = amp ** 2
+    f0 = jnp.where(vuv, jnp.exp(lf0), 0.0)
+    ap = decode_aperiodicity(bap, num_bins, fs)
+    harm = _harmonic_part(f0, f0_cont, sp_power, ap, fs, hop,
+                          max_harmonics)
+    noise = _noise_part(f0, sp_power, ap, fs, hop, key)
+    return harm + noise
+
+
 class FusedAcousticPipeline:
     """questions (B, T, D) -> waveforms (B, T*hop) in one program.
 
@@ -34,7 +52,7 @@ class FusedAcousticPipeline:
     def __init__(self, model_apply, variances, num_coded_sps, fs=16000,
                  frame_shift_ms=5.0, num_bap=1, mean=None, scale=None,
                  max_harmonics=112, bucket=256, num_bins=513,
-                 mesh=None, data_axis="data"):
+                 mesh=None, data_axis="data", post_filter=False):
         """With ``mesh`` (a 1-D ``jax.sharding.Mesh``), serving scales
         out over chips: the batch shards over ``data_axis`` on its
         leading dim, parameters replicate, and each chip synthesises
@@ -43,9 +61,6 @@ class FusedAcousticPipeline:
         import jax
         import jax.numpy as jnp
         from idiaptts_tpu.ops.mlpg import mlpg_factorise, mlpg_solve
-        from idiaptts_tpu.ops.world.d4c import decode_aperiodicity
-        from idiaptts_tpu.ops.world.synthesis import (_harmonic_part,
-                                                      _noise_part)
 
         self._jax = jax
         self._jnp = jnp
@@ -93,16 +108,12 @@ class FusedAcousticPipeline:
 
             def per_utt(sm, vuv, f0_cont):
                 coded = sm[:, :D]
-                lf0 = sm[:, D]
-                bap = sm[:, D + 1:D + 1 + NB]
-                amp = mcep_ops.mcep_to_amp_sp(coded, num_bins, alpha)
-                sp_power = amp ** 2
-                f0 = jnp.where(vuv, jnp.exp(lf0), 0.0)
-                ap = decode_aperiodicity(bap, num_bins, fs)
-                harm = _harmonic_part(f0, f0_cont, sp_power, ap, fs,
-                                      self.hop, max_harmonics)
-                noise = _noise_part(f0, sp_power, ap, fs, self.hop, key)
-                return harm + noise
+                if post_filter:
+                    coded = mcep_ops.merlin_post_filter(coded, alpha)
+                return _vocode_one(coded, sm[:, D],
+                                   vuv, sm[:, D + 1:D + 1 + NB],
+                                   f0_cont, key, fs, self.hop, num_bins,
+                                   alpha, max_harmonics)
 
             return jax.vmap(per_utt)(smoothed, vuv_b, f0_cont_b)
 
@@ -194,9 +205,6 @@ class BatchedWorldSynth:
                  bucket=256):
         import jax
         import jax.numpy as jnp
-        from idiaptts_tpu.ops.world.d4c import decode_aperiodicity
-        from idiaptts_tpu.ops.world.synthesis import (_harmonic_part,
-                                                      _noise_part)
 
         self._jax = jax
         self._jnp = jnp
@@ -217,14 +225,9 @@ class BatchedWorldSynth:
                 coded = mcep_ops.merlin_post_filter(coded, alpha)
 
             def per_utt(coded_u, lf0_u, vuv_u, bap_u, f0_cont):
-                amp = mcep_ops.mcep_to_amp_sp(coded_u, num_bins, alpha)
-                sp_power = amp ** 2
-                f0 = jnp.where(vuv_u, jnp.exp(lf0_u), 0.0)
-                ap = decode_aperiodicity(bap_u, num_bins, fs)
-                harm = _harmonic_part(f0, f0_cont, sp_power, ap, fs,
-                                      self.hop, max_harmonics)
-                noise = _noise_part(f0, sp_power, ap, fs, self.hop, key)
-                return harm + noise
+                return _vocode_one(coded_u, lf0_u, vuv_u, bap_u,
+                                   f0_cont, key, fs, self.hop, num_bins,
+                                   alpha, max_harmonics)
 
             return jax.vmap(per_utt)(coded, lf0, vuv_b, bap, f0_cont_b)
 
@@ -234,6 +237,8 @@ class BatchedWorldSynth:
         """samples: list of (T_i, D+2+NB) static-feature arrays.
         Returns a list of (T_i * hop,) float32 waveforms."""
         jnp = self._jnp
+        if not samples:
+            return []
         lengths = np.array([len(s) for s in samples], np.int32)
         T = int(np.ceil(max(lengths) / self.bucket) * self.bucket)
         batch = np.zeros((len(samples), T, samples[0].shape[-1]),

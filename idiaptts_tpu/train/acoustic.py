@@ -189,7 +189,15 @@ class AcousticModelTrainer(ModularTrainer):
         reader_cmp = self.datareaders["cmp_features"]
         if reader_cmp.covs[0] is None or reader_cmp.norm_params is None:
             raise ValueError("cmp reader has no covariances/norm stats")
-        pipeline = getattr(self, "_fused_pipeline", None)
+        pipe_key = (hparams.get("num_coded_sps", 60),
+                    hparams.get("synth_fs", 16000),
+                    hparams.get("frame_size_ms", 5),
+                    hparams.get("num_bap", 1),
+                    bool(hparams.get("do_post_filtering")))
+        cache = getattr(self, "_fused_pipelines", None)
+        if cache is None:
+            cache = self._fused_pipelines = {}
+        pipeline = cache.get(pipe_key)
         if pipeline is None:
             variances = {
                 "sp": np.ascontiguousarray(
@@ -212,15 +220,19 @@ class AcousticModelTrainer(ModularTrainer):
                                   lengths=lengths_b, training=False)
                 return out[output_name]
 
+            fs = hparams.get("synth_fs", 16000)
+            from idiaptts_tpu.ops import mcep as mcep_ops
             pipeline = FusedAcousticPipeline(
                 model_apply, variances,
                 num_coded_sps=hparams.get("num_coded_sps", 60),
-                fs=hparams.get("synth_fs", 16000),
+                fs=fs,
                 frame_shift_ms=hparams.get("frame_size_ms", 5),
                 num_bap=hparams.get("num_bap", 1),
+                num_bins=mcep_ops.fs_to_frame_length(fs) // 2 + 1,
+                post_filter=bool(hparams.get("do_post_filtering")),
                 mean=np.asarray(mean).reshape(-1),
                 scale=np.asarray(scale).reshape(-1))
-            self._fused_pipeline = pipeline
+            cache[pipe_key] = pipeline
         params = handler.ema.shadow if handler.ema is not None \
             else handler.params
         questions = [np.asarray(reader_q[i]["questions"], np.float32)

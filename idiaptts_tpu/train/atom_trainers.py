@@ -349,12 +349,22 @@ class AtomNeuralFilterModelTrainer(AtomVUVDistPosModelTrainer):
         return result
 
     def adopt_atom_params(self):
+        self._adopt_into(self.ATOM_SCOPE,
+                         self.atom_trainer.model_handler.params)
+
+    def _adopt_into(self, scope, donor):
         handler = self.model_handler
-        donor = self.atom_trainer.model_handler.params
-        handler.params = _adopt_submodule_params(
-            handler.params, self.ATOM_SCOPE, donor)
+        handler.params = _adopt_submodule_params(handler.params, scope,
+                                                 donor)
         if handler.optimiser is not None:
             handler.opt_state = handler.optimiser.init(handler.params)
+        if handler.ema is not None:
+            # EMA shadows (used by inference and checkpoints) must see
+            # the adopted weights, not the random init.
+            from idiaptts_tpu.train.handler import \
+                ExponentialMovingAverage
+            handler.ema = ExponentialMovingAverage(handler.params,
+                                                   handler.ema.decay)
 
     # -- benchmark ----------------------------------------------------------
     def compute_score(self, hparams, results):
@@ -424,12 +434,8 @@ class PhraseAtomNeuralFilterModelTrainer(AtomNeuralFilterModelTrainer):
         return result
 
     def adopt_flat_params(self):
-        handler = self.model_handler
-        donor = self.flat_trainer.model_handler.params
-        handler.params = _adopt_submodule_params(
-            handler.params, self.FLAT_SCOPE, donor)
-        if handler.optimiser is not None:
-            handler.opt_state = handler.optimiser.init(handler.params)
+        self._adopt_into(self.FLAT_SCOPE,
+                         self.flat_trainer.model_handler.params)
 
     def init(self, hparams, model_config=None, loss_configs=None,
              data_reader_configs=None, atom_model_config=None):

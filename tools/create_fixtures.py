@@ -331,29 +331,13 @@ def write_textgrid(path, phones):
 def write_question_file(path):
     """Generated QS/CQS question set over the phone inventory (the
     repo-local stand-in for the reference's Festival-derived .hed
-    config files)."""
-    lines = []
-    order = sorted(PHONES)
-    pos_patterns = {
-        "LL": "{p}~*", "L": "*~{p}-*", "C": "*-{p}+*",
-        "R": "*+{p}=*", "RR": "*={p}:*"}
-    for pos, pat in pos_patterns.items():
-        for ph in order:
-            lines.append('QS "%s-%s" {%s}'
-                         % (pos, ph, pat.format(p=ph)))
-    classes = {}
-    for ph, (cls, _, voiced) in PHONES.items():
-        classes.setdefault(cls, []).append(ph)
-        if voiced:
-            classes.setdefault("voiced", []).append(ph)
-    for cls, members in sorted(classes.items()):
-        pats = ",".join("*-%s+*" % m for m in sorted(members))
-        lines.append('QS "C-%s" {%s}' % (cls, pats))
-    lines.append(r'CQS "Pos_Fw" {:(\d+)_}')
-    lines.append(r'CQS "Pos_Bw" {_(\d+)/A/}')
-    lines.append(r'CQS "Syl" {/B/(\d+)-}')
-    lines.append(r'CQS "WordLen" {-(\d+)/J/}')
-    lines.append(r'CQS "NumPhones" {/J/(\d+)+}')
+    config files).  Shares the generator with
+    tools/make_question_file.py so user-generated and fixture question
+    files have identical structure."""
+    from make_question_file import build_questions
+    class_map = {ph: (cls, voiced)
+                 for ph, (cls, _, voiced) in PHONES.items()}
+    lines = build_questions(sorted(PHONES), class_map)
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
     return len(lines)
