@@ -9,7 +9,9 @@ WorldFeatLabelGen.py:792-793) with a TPU-first formulation:
 3. local-maximum candidate extraction with ``top_k`` (fixed K),
 4. Viterbi smoothing over candidates (forward ``lax.scan`` + backtrace
    ``lax.scan``) with an explicit unvoiced state,
-5. parabolic lag refinement.
+5. parabolic lag refinement,
+6. two instantaneous-frequency refinement passes over the first
+   harmonics (the StoneMask role, all static shapes).
 
 Everything is dense, statically shaped and jit-compiled; the sequential
 parts are O(T) scans over 5 ms frames with K-sized inner vector work.
@@ -23,8 +25,10 @@ import numpy as np
 
 _NUM_CANDS = 8          # candidate peaks per frame
 # Defaults tuned against the reference's DIO+StoneMask tracks on the
-# LJSpeech fixtures: VUV agreement 0.874, voiced F0 RMSE 12.5 Hz,
-# GPE(>20%) 0.7% over 5 utterances.
+# LJSpeech fixtures: VUV agreement 0.862, voiced F0 RMSE 12.1 Hz,
+# GPE(>20%) 0.84%, non-gross RMSE 5.4 Hz over all 9 utterances.  On
+# synthetic audio with known truth (tests/fixtures): median error
+# 0.16 Hz, RMSE 0.46 Hz.
 _UNVOICED_COST = 0.52   # score below which unvoiced becomes attractive
 _TRANSITION_W = 4.0     # octave-jump penalty weight
 _LAG_BIAS = 0.0         # subharmonic penalty supersedes lag bias
@@ -35,6 +39,21 @@ def _frame_starts(num_samples, hop, window):
     return num_frames
 
 
+def _frame_signal(raw, hop, num_frames, seg_len, front_pad):
+    """Gather-free framing: frame starts lie on the hop grid, so the
+    (T, seg_len) windows are shifted slices of the hop-reshaped signal
+    (dynamic gathers are the slow path on TPU).  Frame ``t`` covers
+    original samples ``[t*hop - front_pad, t*hop - front_pad + seg_len)``
+    (zero-padded outside the signal)."""
+    rows_per_frame = -(-seg_len // hop)
+    padded = jnp.pad(raw, (front_pad,
+                           (rows_per_frame + num_frames) * hop))
+    rows = padded[:(num_frames + rows_per_frame) * hop].reshape(-1, hop)
+    return jnp.concatenate(
+        [rows[i:i + num_frames] for i in range(rows_per_frame)],
+        axis=1)[:, :seg_len]                            # (T, seg_len)
+
+
 @partial(jax.jit, static_argnames=("fs", "hop", "f0_floor", "f0_ceil",
                                    "window"))
 def _nccf(raw, fs, hop, f0_floor, f0_ceil, window):
@@ -42,16 +61,7 @@ def _nccf(raw, fs, hop, f0_floor, f0_ceil, window):
     max_lag = int(fs / f0_floor) + 1
     num_frames = _frame_starts(raw.shape[0], hop, window)
     seg_len = window + max_lag
-    # Gather-free framing: frame starts lie on the hop grid, so the
-    # (T, seg_len) windows are shifted slices of the hop-reshaped
-    # signal (dynamic gathers are the slow path on TPU).
-    rows_per_frame = -(-seg_len // hop)
-    padded = jnp.pad(raw, (window // 2,
-                           (rows_per_frame + num_frames) * hop))
-    rows = padded[:(num_frames + rows_per_frame) * hop].reshape(-1, hop)
-    segs = jnp.concatenate(
-        [rows[i:i + num_frames] for i in range(rows_per_frame)],
-        axis=1)[:, :seg_len]                            # (T, seg_len)
+    segs = _frame_signal(raw, hop, num_frames, seg_len, window // 2)
     segs = segs - jnp.mean(segs[:, :window], axis=1, keepdims=True)
 
     n_fft = int(2 ** np.ceil(np.log2(seg_len + window)))
@@ -162,6 +172,59 @@ def _viterbi(f0_cand, scores, uv_cost, trans_w):
     return path
 
 
+def _if_spectra(raw, fs, hop, num_frames, window):
+    """Per-frame instantaneous-frequency map + magnitudes for
+    :func:`_refine_if`.  The IF of bin ``b`` is the phase advance
+    between the same windowed segment shifted by one sample — exact
+    for an isolated sinusoid anywhere inside its analysis mainlobe.
+    F0-independent, so refinement iterations can share one copy."""
+    n_fft = int(2 ** np.ceil(np.log2(2 * window)))
+    segs = _frame_signal(raw, hop, num_frames, window + 1, window // 2)
+    win = 0.5 - 0.5 * jnp.cos(
+        2.0 * jnp.pi * jnp.arange(window) / (window - 1))
+    spec_a = jnp.fft.rfft(segs[:, :window] * win, n=n_fft, axis=-1)
+    spec_b = jnp.fft.rfft(segs[:, 1:window + 1] * win, n=n_fft, axis=-1)
+    cross = spec_b * jnp.conj(spec_a)
+    inst_freq = jnp.angle(cross) * fs / (2.0 * jnp.pi)    # (T, F)
+    mag2 = jnp.abs(spec_a) ** 2
+    return inst_freq, mag2, n_fft
+
+
+def _refine_if(inst_freq, mag2, n_fft, fs, window, f0, voiced,
+               num_harmonics=3):
+    """StoneMask-role refinement: instantaneous-frequency estimates at
+    the first harmonics sharpen each voiced frame's F0 (pyworld runs
+    ``stonemask`` after ``dio``; WorldFeatLabelGen.py:793).
+
+    The coarse lag-domain F0 only needs to land within half a mainlobe
+    (~2*fs/W Hz) of the truth for the harmonic bins to be picked
+    correctly.  Harmonic IFs divided by their index are averaged with
+    magnitude-squared weights; a consistency gate drops harmonics that
+    disagree with the current estimate by >18% (collided or noisy
+    bins).  All shapes static.
+    """
+    num_bins = inst_freq.shape[1]
+
+    est_num = jnp.zeros_like(f0)
+    est_den = jnp.zeros_like(f0)
+    for k in range(1, num_harmonics + 1):
+        bin_f = k * f0 * n_fft / fs
+        b0 = jnp.clip(jnp.round(bin_f).astype(jnp.int32), 1,
+                      num_bins - 2)
+        in_range = (k * f0) < (0.5 * fs - fs / window)
+        for off in (-1, 0, 1):
+            idx = jnp.clip(b0 + off, 0, num_bins - 1)[:, None]
+            est = jnp.take_along_axis(inst_freq, idx, axis=1)[:, 0] / k
+            w = jnp.take_along_axis(mag2, idx, axis=1)[:, 0]
+            ok = in_range & (jnp.abs(est - f0) < 0.18 * f0)
+            w = jnp.where(ok, w, 0.0)
+            est_num = est_num + w * est
+            est_den = est_den + w
+    refined = est_num / jnp.maximum(est_den, 1e-12)
+    use = voiced & (est_den > 1e-8)
+    return jnp.where(use, refined, f0)
+
+
 @partial(jax.jit, static_argnames=("fs", "hop", "f0_floor", "f0_ceil",
                                    "window"))
 def _extract_f0_jit(raw, fs, hop, f0_floor, f0_ceil, window, uv_cost,
@@ -181,6 +244,18 @@ def _extract_f0_jit(raw, fs, hop, f0_floor, f0_ceil, window, uv_cost,
     energy_db = 10.0 * jnp.log10(energy + 1e-12)
     gate = energy_db > (jnp.max(energy_db) - 40.0)
     voiced = voiced & gate & (picked_score > score_th)
+    # Two IF-refinement passes (StoneMask runs refinement twice): the
+    # first pulls the lag-grid estimate onto the spectral truth, the
+    # second re-centres the harmonic bins with the better estimate.
+    num_frames = _frame_starts(raw.shape[0], hop, window)
+    w_ref = int(fs * 0.035)
+    inst_freq, mag2, n_fft = _if_spectra(raw, fs, hop, num_frames,
+                                         w_ref)
+    picked = jnp.clip(picked, f0_floor, f0_ceil)
+    for _ in range(2):
+        picked = _refine_if(inst_freq, mag2, n_fft, fs, w_ref, picked,
+                            voiced)
+        picked = jnp.clip(picked, f0_floor, f0_ceil)
     return jnp.where(voiced, picked, 0.0)
 
 

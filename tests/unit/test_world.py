@@ -46,7 +46,9 @@ def test_f0_matches_generating_parameters(fixtures_dir, id_list):
         n = min(len(f0), len(f0_true))
         both = (f0[:n] > 0) & (f0_true[:n] > 0)
         err = np.abs(f0[:n][both] - f0_true[:n][both])
-        assert np.median(err) < 2.0, np.median(err)
+        # IF refinement brings the synthetic-truth median to ~0.16 Hz;
+        # 0.6 allows per-utterance spread while pinning the gain.
+        assert np.median(err) < 0.6, np.median(err)
         agree = ((f0[:n] > 0) == (f0_true[:n] > 0)).mean()
         assert agree > 0.85, agree
 
@@ -74,7 +76,7 @@ def test_f0_parity_with_reference(ref_fixtures_dir):
         rmse.append(np.sqrt(np.mean(err ** 2)))
         gpe.append((err / f0_ref > 0.2).mean())
     assert np.mean(agree) > 0.82, np.mean(agree)
-    assert np.mean(rmse) < 25.0, np.mean(rmse)
+    assert np.mean(rmse) < 18.0, np.mean(rmse)
     assert np.mean(gpe) < 0.03, np.mean(gpe)
 
 
