@@ -80,6 +80,40 @@ def test_f0_parity_with_reference(ref_fixtures_dir):
     assert np.mean(gpe) < 0.03, np.mean(gpe)
 
 
+def test_mcep_fixed_linear_compat_with_reference(ref_fixtures_dir):
+    """The mcep20 features are equivalent to the reference's
+    (pyworld CheapTrick + pysptk mcep) up to a FIXED affine map.
+
+    Raw MCD between the two extractors is ~13 dB — a systematic,
+    signal-independent basis/tilt difference (our envelope is validated
+    against synthetic known-envelope ground truth to ~1 dB elsewhere in
+    this file).  What matters for a migrating user is that the features
+    carry the same information: an affine map fitted on ONE utterance
+    must transfer to a DIFFERENT utterance with small residual.  A
+    regression in CheapTrick/mcep code breaks that transfer.
+    """
+    def my_mcep(utt):
+        from idiaptts_tpu.ops.world.extract import world_analysis
+        raw, fs = get_raw(os.path.join(ref_fixtures_dir, "database",
+                                       "wav", utt + ".wav"))
+        _, mc, _ = world_analysis(raw, fs, num_coded_sps=20)
+        mc_ref = np.fromfile(
+            os.path.join(ref_fixtures_dir, "WORLD", "mcep20",
+                         utt + ".mcep"), dtype=np.float32).reshape(-1, 20)
+        n = min(len(mc), len(mc_ref))
+        return np.asarray(mc[:n]), mc_ref[:n]
+
+    x_fit, y_fit = my_mcep("LJ001-0001")
+    x_ev, y_ev = my_mcep("LJ001-0002")
+    xa = np.concatenate([x_fit, np.ones((len(x_fit), 1))], axis=1)
+    m_map = np.linalg.lstsq(xa, y_fit, rcond=None)[0]
+    pred = np.concatenate([x_ev, np.ones((len(x_ev), 1))], axis=1) @ m_map
+    d = pred[:, 1:] - y_ev[:, 1:]
+    mcd = (10.0 / np.log(10)) * np.sqrt(2.0) * np.mean(
+        np.sqrt(np.sum(d ** 2, axis=1)))
+    assert mcd < 3.0, mcd
+
+
 def test_f0_synthetic_accuracy():
     fs = 16000
     t = np.arange(fs * 2) / fs
