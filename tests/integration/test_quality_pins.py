@@ -27,6 +27,10 @@ from idiaptts_tpu.train.duration import DurationModelTrainer
 PINNED_ACOUSTIC = {"mcd": 4.097, "f0_rmse": 9.534, "vde": 0.0294,
                    "bap": 12.704}
 PINNED_DURATION_RMSE = 3.249
+# Atom F0-reconstruction pin (the repo's answer to the reference's
+# test_AtomVUVDistPosModelTrainer.py:116 pins (87.312 Hz / 0.624);
+# recorded 2026-08-17 on the committed synthetic corpus).
+PINNED_ATOM = {"f0_rmse": 8.8186, "vde": 0.4627}
 RTOL = 0.05
 
 
@@ -123,3 +127,43 @@ def test_duration_benchmark_pinned(fixtures_dir, id_list, question_file,
     tol = max(PINNED_DURATION_RMSE * RTOL, 1e-3)
     assert abs(float(rmse) - PINNED_DURATION_RMSE) <= tol, (
         rmse, PINNED_DURATION_RMSE)
+
+
+def test_atom_benchmark_pinned(fixtures_dir, id_list, num_questions,
+                               tmp_path):
+    """Seeded atom-model recipe: F0 reconstruction RMSE / VDE from
+    predicted atom spikes must stay pinned (reference analogue:
+    test_AtomVUVDistPosModelTrainer.py:116)."""
+    from idiaptts_tpu.train.atom_trainers import AtomModelTrainer
+    from idiaptts_tpu.models.rnn_dyn import convert_legacy_string
+
+    hparams = AtomModelTrainer.create_hparams()
+    hparams.num_questions = num_questions
+    hparams.thetas = [0.03, 0.06, 0.09, 0.12, 0.15]
+    hparams.out_dir = str(tmp_path / "exp")
+    hparams.model_name = "pin_atoms"
+    hparams.epochs = 10
+    hparams.batch_size_train = 3
+    hparams.learning_rate = 0.001
+    hparams.seed = 1
+    hparams.test_set_perc = 0.0
+    hparams.val_set_perc = 0.25
+    hparams.use_best_as_final_model = True
+    trainer = AtomModelTrainer(
+        hparams, list(id_list),
+        dir_question_labels=os.path.join(fixtures_dir, "questions"),
+        dir_atom_labels=os.path.join(
+            fixtures_dir, "wcad-0.030_0.060_0.090_0.120_0.150"),
+        dir_world_features=os.path.join(fixtures_dir, "WORLD"))
+    cfg = convert_legacy_string("RNNDYN-1_RELU_64-1_FC_5",
+                                num_questions)
+    cfg.input_names = ("questions",)
+    cfg.output_names = ("pred_atoms",)
+    trainer.init(hparams, model_config=cfg)
+    trainer.train(hparams)
+    f0_rmse, vde = trainer.benchmark(hparams, trainer.id_list_train)
+    print("atom metrics:", float(f0_rmse), float(vde))
+    for key, got in [("f0_rmse", float(f0_rmse)), ("vde", float(vde))]:
+        pinned = PINNED_ATOM[key]
+        tol = max(abs(pinned) * RTOL, 1e-3)
+        assert abs(got - pinned) <= tol, (key, got, pinned)
