@@ -31,6 +31,12 @@ PINNED_DURATION_RMSE = 3.249
 # test_AtomVUVDistPosModelTrainer.py:116 pins (87.312 Hz / 0.624);
 # recorded 2026-08-17 on the committed synthetic corpus).
 PINNED_ATOM = {"f0_rmse": 8.8186, "vde": 0.4627}
+# Three-phase neural-filter pins (reference analogues:
+# test_AtomNeuralFilterModelTrainer.py:187-193 (214.1 Hz / 0.604) and
+# test_PhraseAtomNeuralFilterModelTrainer.py:224-232 (1679.056 Hz);
+# recorded 2026-08-17, seeded 3-epoch-per-phase recipe).
+PINNED_FLAT = {"f0_rmse": 127.9409, "vde": 0.2645}
+PINNED_PHRASE = {"f0_rmse": 184.7032, "vde": 0.2371}
 RTOL = 0.05
 
 
@@ -165,5 +171,77 @@ def test_atom_benchmark_pinned(fixtures_dir, id_list, num_questions,
     print("atom metrics:", float(f0_rmse), float(vde))
     for key, got in [("f0_rmse", float(f0_rmse)), ("vde", float(vde))]:
         pinned = PINNED_ATOM[key]
+        tol = max(abs(pinned) * RTOL, 1e-3)
+        assert abs(got - pinned) <= tol, (key, got, pinned)
+
+
+def test_phrase_pipeline_benchmark_pinned(fixtures_dir, id_list,
+                                          num_questions, tmp_path):
+    """Seeded three-phase atom -> flat -> phrase recipe: F0-RMSE / VDE
+    of the flat neural-filter model and the full phrase model must stay
+    pinned (reference analogues:
+    test_AtomNeuralFilterModelTrainer.py:187-193,
+    test_PhraseAtomNeuralFilterModelTrainer.py:224-232)."""
+    from idiaptts_tpu.models.rnn_dyn import convert_legacy_string
+    from idiaptts_tpu.train.atom_trainers import (
+        AtomNeuralFilterModelTrainer, AtomVUVDistPosModelTrainer,
+        PhraseAtomNeuralFilterModelTrainer)
+
+    dirs = dict(
+        dir_question_labels=os.path.join(fixtures_dir, "questions"),
+        dir_atom_labels=os.path.join(
+            fixtures_dir, "wcad-0.030_0.060_0.090_0.120_0.150"),
+        dir_world_features=os.path.join(fixtures_dir, "WORLD"))
+
+    def base_hp(cls, name, epochs):
+        hp = cls.create_hparams()
+        hp.num_questions = num_questions
+        hp.thetas = [0.03, 0.06, 0.09, 0.12, 0.15]
+        hp.out_dir = str(tmp_path / name)
+        hp.model_name = name
+        hp.epochs = epochs
+        hp.batch_size_train = 3
+        hp.batch_size_val = 6
+        hp.learning_rate = 0.001
+        hp.seed = 1
+        hp.test_set_perc = 0.0
+        hp.val_set_perc = 0.25
+        hp.use_best_as_final_model = False
+        return hp
+
+    atom_hp = base_hp(AtomVUVDistPosModelTrainer, "atoms", 3)
+    atom_tr = AtomVUVDistPosModelTrainer(atom_hp, list(id_list), **dirs)
+    atom_cfg = convert_legacy_string("RNNDYN-1_RELU_32-1_FC_7",
+                                     num_questions)
+    atom_cfg.input_names = ("questions",)
+    atom_cfg.output_names = ("pred_atoms",)
+    atom_tr.init(atom_hp, model_config=atom_cfg)
+    flat_hp = base_hp(AtomNeuralFilterModelTrainer, "flat", 3)
+    flat_tr = AtomNeuralFilterModelTrainer(flat_hp, list(id_list),
+                                           **dirs)
+    flat_tr.init_atom(flat_hp, atom_tr)
+    flat_tr.init(flat_hp)
+    phrase_hp = base_hp(PhraseAtomNeuralFilterModelTrainer, "phrase", 3)
+    phrase_hp.add_hparams(phrase_bias_init=5.2)
+    phrase_tr = PhraseAtomNeuralFilterModelTrainer(
+        phrase_hp, list(id_list), **dirs)
+    phrase_tr.init_flat(phrase_hp, flat_tr)
+    phrase_tr.init(phrase_hp)
+
+    phrase_tr.train_atom(atom_hp)
+    phrase_tr.train_flat(flat_hp)
+    phrase_tr.train(phrase_hp)
+
+    flat_rmse, flat_vde = flat_tr.benchmark(flat_hp,
+                                            flat_tr.id_list_train)
+    f0_rmse, vde = phrase_tr.benchmark(phrase_hp,
+                                       phrase_tr.id_list_train)
+    print("flat:", float(flat_rmse), float(flat_vde),
+          "phrase:", float(f0_rmse), float(vde))
+    for key, got, pins in [("f0_rmse", float(flat_rmse), PINNED_FLAT),
+                           ("vde", float(flat_vde), PINNED_FLAT),
+                           ("f0_rmse", float(f0_rmse), PINNED_PHRASE),
+                           ("vde", float(vde), PINNED_PHRASE)]:
+        pinned = pins[key]
         tol = max(abs(pinned) * RTOL, 1e-3)
         assert abs(got - pinned) <= tol, (key, got, pinned)
