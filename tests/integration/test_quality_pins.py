@@ -37,6 +37,11 @@ PINNED_ATOM = {"f0_rmse": 8.8186, "vde": 0.4627}
 # recorded 2026-08-17, seeded 3-epoch-per-phase recipe).
 PINNED_FLAT = {"f0_rmse": 127.9409, "vde": 0.2645}
 PINNED_PHRASE = {"f0_rmse": 184.7032, "vde": 0.2371}
+# VTLN speaker-adaptation pin (reference analogue:
+# test_VTLNSpeakerAdaptionModelTrainer.py:184 (8.644 dB / 78.4 / 0.609
+# / 37.352); recorded 2026-08-17, seeded 8-epoch recipe).
+PINNED_VTLN = {"mcd": 10.8833, "f0_rmse": 17.6262, "vde": 0.5373,
+               "bap": 36.1106}
 RTOL = 0.05
 
 
@@ -245,3 +250,52 @@ def test_phrase_pipeline_benchmark_pinned(fixtures_dir, id_list,
         pinned = pins[key]
         tol = max(abs(pinned) * RTOL, 1e-3)
         assert abs(got - pinned) <= tol, (key, got, pinned)
+
+
+def test_vtln_benchmark_pinned(fixtures_dir, id_list, num_questions,
+                               tmp_path):
+    """Seeded VTLN speaker-adaptation recipe: MCD / F0-RMSE / VDE / BAP
+    must stay pinned (reference analogue:
+    test_VTLNSpeakerAdaptionModelTrainer.py:184)."""
+    from idiaptts_tpu.train.vtln_trainer import \
+        VTLNSpeakerAdaptionModelTrainer
+    from idiaptts_tpu.models.rnn_dyn import convert_legacy_string
+    from idiaptts_tpu.data.category import CategoryDataReader
+
+    hparams = VTLNSpeakerAdaptionModelTrainer.create_hparams()
+    hparams.num_questions = num_questions
+    hparams.num_coded_sps = 20
+    hparams.out_dir = str(tmp_path / "exp")
+    hparams.model_name = "pin_vtln"
+    hparams.epochs = 8
+    hparams.batch_size_train = 3
+    hparams.batch_size_val = 6
+    hparams.learning_rate = 0.0005
+    hparams.seed = 1
+    hparams.test_set_perc = 0.0
+    hparams.val_set_perc = 0.25
+    hparams.use_best_as_final_model = True
+    hparams.warp_matrix_size = 20
+    trainer = VTLNSpeakerAdaptionModelTrainer(
+        hparams, list(id_list),
+        dir_question_labels=os.path.join(fixtures_dir, "questions"),
+        dir_world_features=os.path.join(fixtures_dir, "WORLD"))
+    pre_net = convert_legacy_string("RNNDYN-1_RELU_64-1_FC_67",
+                                    num_questions)
+    pre_net.input_names = ("questions",)
+    pre_net.output_names = ("pre_net_output",)
+    data_configs = trainer.default_data_reader_configs(hparams)
+    data_configs.append(CategoryDataReader.Config(
+        name="speaker_embedding", get_category_fn=lambda idn: [0.5]))
+    model_config = trainer.build_model_config(hparams, pre_net, 20)
+    trainer.init(hparams, model_config=model_config,
+                 data_reader_configs=data_configs)
+    trainer.train(hparams)
+    mcd, f0_rmse, vde, bap = trainer.benchmark(hparams,
+                                               trainer.id_list_train)
+    got = {"mcd": float(mcd), "f0_rmse": float(f0_rmse),
+           "vde": float(vde), "bap": float(bap)}
+    print("vtln metrics:", got)
+    for key, pinned in PINNED_VTLN.items():
+        tol = max(abs(pinned) * RTOL, 1e-3)
+        assert abs(got[key] - pinned) <= tol, (key, got[key], pinned)
