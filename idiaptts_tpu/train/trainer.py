@@ -404,10 +404,11 @@ class ModularTrainer:
         """Batched inference -> {id: output dict} with post-processing
         (:617-686 role).  With ``input_only`` the dataset is built from
         the model-input readers alone, so unseen utterances without
-        target features can be synthesised."""
+        target features can be synthesised.  ``id_list`` accepts a
+        list/tuple of ids, a single id, or a file-id-list path."""
         return self._forward_batched(
-            hparams, id_list, hparams.get("batch_size_val", 48),
-            input_only=input_only)
+            hparams, self._input_to_str_list(id_list),
+            hparams.get("batch_size_val", 48), input_only=input_only)
 
     def _model_input_names(self):
         config = self.model_handler.model_config
@@ -492,8 +493,8 @@ class ModularTrainer:
     def synth(self, hparams, id_list):
         """Predict features and synthesise waveforms (:644-676 role)."""
         results = self._forward_batched(
-            hparams, id_list, hparams.get("batch_size_synth", 12),
-            input_only=True)
+            hparams, self._input_to_str_list(id_list),
+            hparams.get("batch_size_synth", 12), input_only=True)
         return self.gen_waveform(hparams, results)
 
     def copy_synth(self, hparams, id_list):
@@ -515,7 +516,8 @@ class ModularTrainer:
             "gen_waveform must be implemented by the task trainer.")
 
     def benchmark(self, hparams, id_list=None):
-        ids = id_list or self.id_list_test
+        ids = self._input_to_str_list(id_list) if id_list is not None \
+            else self.id_list_test
         results = self._forward_batched(
             hparams, ids, hparams.get("batch_size_benchmark", 48))
         return self.compute_score(hparams, results)
@@ -527,7 +529,8 @@ class ModularTrainer:
     def gen_figure(self, hparams, id_list):
         """Figure generation via DataPlotter (:889-937 role)."""
         results = self._forward_batched(
-            hparams, id_list, hparams.get("batch_size_gen_figure", 48))
+            hparams, self._input_to_str_list(id_list),
+            hparams.get("batch_size_gen_figure", 48))
         paths = []
         for id_name, sample in results.items():
             paths.append(self.gen_figure_from_output(
@@ -579,6 +582,79 @@ class ModularTrainer:
             os.path.join(os.path.split(os.path.dirname(i))[-1],
                          os.path.splitext(os.path.basename(i))[0])
             for i in id_list)
+
+    @staticmethod
+    def _input_to_str_list(input):
+        """Flexible id input -> list of id strings: a path to a
+        file-id-list file, a single id string, or a list/tuple of ids
+        (ModularTrainer.py:794-812 semantics)."""
+        if isinstance(input, str):
+            try:
+                with open(input) as f:
+                    return [s.strip(" \t\n\r") for s in f.readlines()
+                            if s.strip(" \t\n\r")]
+            except IOError:
+                return [input]
+        if isinstance(input, (list, tuple)):
+            return [str(s) for s in input]
+        raise ValueError("Unknown input {} of type {}.".format(
+            input, type(input)))
+
+    @staticmethod
+    def split_batch(data, seq_lengths, batch_first=True):
+        """Split every batched array in ``data`` into per-utterance
+        arrays trimmed to its reader's lengths
+        (ModularTrainer.py:127-130)."""
+        return {k: ModularTrainer._split_return_values(
+                    v, seq_lengths[k], batch_first=batch_first)
+                for k, v in data.items()}
+
+    @classmethod
+    def _split_return_values(cls, input_values, seq_length_output,
+                             permutation=None, batch_first=False):
+        """Batched ndarray (or nested tuple of them) -> per-utterance
+        list, trimmed to ``seq_length_output`` and optionally unsorted
+        by ``permutation`` (ModularTrainer.py:132-186 semantics)."""
+        if input_values is None:
+            return None
+        if isinstance(input_values, tuple):
+            if all(v is None for v in input_values):
+                return input_values
+            parts = tuple(
+                cls._split_return_values(x, seq_length_output,
+                                         permutation, batch_first)
+                for x in input_values)
+            batch_size = len([p for p in parts if p is not None][0])
+            out = []
+            for index in range(batch_size):
+                entry = []
+                for element in parts:
+                    if element is None or (
+                            isinstance(element, tuple)
+                            and all(v is None for v in element)):
+                        entry.append(element)
+                    else:
+                        entry.append(element[index])
+                out.append(tuple(entry))
+            return tuple(out)
+        if not isinstance(input_values, np.ndarray):
+            raise TypeError(
+                "Expected numpy tensor but input is of type {}.".format(
+                    type(input_values)))
+        axis = 0 if batch_first else 1
+        values = [np.squeeze(v, axis=axis) for v in np.split(
+            input_values, input_values.shape[axis], axis=axis)]
+        if seq_length_output is not None \
+                and np.ndim(seq_length_output) > 0 \
+                and len(seq_length_output) > 1:
+            values = [v[:int(n)] for v, n in zip(values,
+                                                 seq_length_output)]
+        if permutation is not None:
+            unsorted = list(values)
+            for org_index, current_index in enumerate(permutation):
+                unsorted[current_index] = values[org_index]
+            values = unsorted
+        return values
 
     def log_validation_set(self):
         if self.id_list_val:

@@ -162,3 +162,52 @@ def test_small_utils():
     import re
     assert re.match(r"\d{4}-\d{2}-\d{2} ",
                     local_modification_time("/root/repo/README.md"))
+
+
+def test_input_to_str_list_and_split_return_values(tmp_path):
+    """Reference-surface helpers: flexible id input parsing
+    (ModularTrainer.py:794-812) and batched-output splitting
+    (:127-186), mirroring the reference's unit tests."""
+    import numpy as np
+    from idiaptts_tpu.train.trainer import ModularTrainer
+
+    # Tuple of non-strings -> list of strings.
+    assert ModularTrainer._input_to_str_list((121, 122)) == ["121",
+                                                             "122"]
+    # Path to a file id list.
+    p = tmp_path / "ids.txt"
+    p.write_text("a\nb \n c\n")
+    assert ModularTrainer._input_to_str_list(str(p)) == ["a", "b", "c"]
+    # Single id.
+    assert ModularTrainer._input_to_str_list("121") == ["121"]
+    # Wrong input raises.
+    import pytest
+    with pytest.raises(ValueError):
+        ModularTrainer._input_to_str_list(np.array([1, 2]))
+
+    # split_return_values: batched array -> trimmed per-utterance list.
+    batched = np.arange(2 * 5 * 3, dtype=np.float32).reshape(2, 5, 3)
+    out = ModularTrainer._split_return_values(
+        batched, np.array([5, 3]), batch_first=True)
+    assert len(out) == 2
+    assert out[0].shape == (5, 3) and out[1].shape == (3, 3)
+    np.testing.assert_array_equal(out[1], batched[1, :3])
+    # Time-major variant.
+    out_tm = ModularTrainer._split_return_values(
+        np.moveaxis(batched, 0, 1), np.array([5, 3]), batch_first=False)
+    np.testing.assert_array_equal(out_tm[0], out[0])
+    # Nested tuple with None entries (bidirectional hidden-state shape).
+    nested = (batched, None)
+    out_n = ModularTrainer._split_return_values(
+        nested, np.array([5, 3]), batch_first=True)
+    assert isinstance(out_n, tuple) and len(out_n) == 2
+    assert out_n[0][1] is None
+    np.testing.assert_array_equal(out_n[1][0], batched[1, :3])
+    # Permutation unsorts back to original order.
+    out_p = ModularTrainer._split_return_values(
+        batched, np.array([5, 5]), permutation=[1, 0], batch_first=True)
+    np.testing.assert_array_equal(out_p[0], batched[1])
+    # split_batch dict front door.
+    d = ModularTrainer.split_batch(
+        {"x": batched}, {"x": np.array([5, 3])})
+    assert d["x"][1].shape == (3, 3)
