@@ -24,34 +24,29 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(
     os.path.abspath(__file__)), "..", ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(
+    os.path.abspath(__file__)), ".."))
+
+import recipe_common
 
 logging.basicConfig(level=logging.INFO,
                     format="%(asctime)s %(levelname)s %(message)s")
 logger = logging.getLogger("ljspeech_demo")
 
 NUM_SPS = 20
+
+
 def _num_questions(args):
-    from idiaptts_tpu.data.questions import QuestionSet
-    return QuestionSet(_question_file(args)).dict_size + 9
-
-
-def stage1_world(args, ids):
-    from idiaptts_tpu.data.world_feat import WorldFeatLabelGen
-    dir_world = os.path.join(args.work_dir, "WORLD")
-    gen = WorldFeatLabelGen(dir_labels=dir_world, add_deltas=True,
-                            num_coded_sps=NUM_SPS)
-    gen.gen_data(os.path.join(args.fixtures, "database", "wav"),
-                 dir_out=dir_world, id_list=ids)
-    logger.info("WORLD features in %s", dir_world)
+    return recipe_common.num_questions(args.fixtures)
 
 
 def _question_file(args):
-    import glob
-    heds = sorted(glob.glob(os.path.join(args.fixtures, "*.hed")))
-    if not heds:
-        raise FileNotFoundError("no .hed question file in "
-                                + args.fixtures)
-    return heds[0]
+    return recipe_common.question_file(args.fixtures)
+
+
+def stage1_world(args, ids):
+    recipe_common.stage_world(args.fixtures, args.work_dir, ids,
+                              NUM_SPS)
 
 
 def stage2_labels(args, ids):
@@ -225,11 +220,10 @@ def main():
         ids = [line.strip().split("/")[-1] for line in f
                if line.strip()]
 
-    stages = {1: stage1_world, 2: stage2_labels, 3: stage3_duration,
-              4: stage4_acoustic, 5: stage5_benchmark, 6: stage6_synth}
-    for n in range(args.stage, args.stop_stage + 1):
-        logger.info("===== stage %d =====", n)
-        stages[n](args, ids)
+    recipe_common.run_stages(
+        {1: stage1_world, 2: stage2_labels, 3: stage3_duration,
+         4: stage4_acoustic, 5: stage5_benchmark, 6: stage6_synth},
+        args, ids)
 
 
 if __name__ == "__main__":

@@ -516,7 +516,9 @@ class ModularTrainer:
             "gen_waveform must be implemented by the task trainer.")
 
     def benchmark(self, hparams, id_list=None):
-        ids = self._input_to_str_list(id_list) if id_list is not None \
+        # Falsy input (None or empty) falls back to the test split,
+        # matching the pre-existing `id_list or self.id_list_test`.
+        ids = self._input_to_str_list(id_list) if id_list \
             else self.id_list_test
         results = self._forward_batched(
             hparams, ids, hparams.get("batch_size_benchmark", 48))
@@ -624,7 +626,10 @@ class ModularTrainer:
                 cls._split_return_values(x, seq_length_output,
                                          permutation, batch_first)
                 for x in input_values)
-            batch_size = len([p for p in parts if p is not None][0])
+            # Batch size comes from a split LIST part; None and
+            # all-None tuples (returned verbatim) have no batch axis.
+            batch_size = len([p for p in parts
+                              if isinstance(p, list)][0])
             out = []
             for index in range(batch_size):
                 entry = []
@@ -644,9 +649,14 @@ class ModularTrainer:
         axis = 0 if batch_first else 1
         values = [np.squeeze(v, axis=axis) for v in np.split(
             input_values, input_values.shape[axis], axis=axis)]
+        # Trim to per-utterance lengths.  Unlike the reference (whose
+        # collate pads only to max-in-batch, so a singleton batch is
+        # never padded) this repo's collate_batch pads to bucket
+        # lengths — a batch of ONE still carries padding, so trim for
+        # any batch size.
         if seq_length_output is not None \
                 and np.ndim(seq_length_output) > 0 \
-                and len(seq_length_output) > 1:
+                and len(seq_length_output) >= 1:
             values = [v[:int(n)] for v, n in zip(values,
                                                  seq_length_output)]
         if permutation is not None:

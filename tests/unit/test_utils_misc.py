@@ -196,6 +196,11 @@ def test_input_to_str_list_and_split_return_values(tmp_path):
     out_tm = ModularTrainer._split_return_values(
         np.moveaxis(batched, 0, 1), np.array([5, 3]), batch_first=False)
     np.testing.assert_array_equal(out_tm[0], out[0])
+    # Singleton batch still trims (this repo's collate pads to bucket
+    # lengths even for one sample, unlike the reference's max-in-batch).
+    out_1 = ModularTrainer._split_return_values(
+        batched[:1], np.array([3]), batch_first=True)
+    assert out_1[0].shape == (3, 3)
     # Nested tuple with None entries (bidirectional hidden-state shape).
     nested = (batched, None)
     out_n = ModularTrainer._split_return_values(
@@ -203,6 +208,11 @@ def test_input_to_str_list_and_split_return_values(tmp_path):
     assert isinstance(out_n, tuple) and len(out_n) == 2
     assert out_n[0][1] is None
     np.testing.assert_array_equal(out_n[1][0], batched[1, :3])
+    # An all-None tuple BEFORE the array must not poison the batch size.
+    out_nn = ModularTrainer._split_return_values(
+        ((None, None), batched), np.array([5, 5, 5][:2]),
+        batch_first=True)
+    assert len(out_nn) == 2 and out_nn[0][0] == (None, None)
     # Permutation unsorts back to original order.
     out_p = ModularTrainer._split_return_values(
         batched, np.array([5, 5]), permutation=[1, 0], batch_first=True)
