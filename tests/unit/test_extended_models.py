@@ -487,3 +487,40 @@ def test_fused_acoustic_pipeline():
                           np.array([40, 25], np.int32),
                           device_output=True))
     np.testing.assert_allclose(dev[0][:40 * 80], wavs[0], atol=2e-4)
+
+
+def test_embedding_groups_in_rnn_dyn():
+    """EMB layer groups (RNNDyn Config.py:81-111 role): the legacy
+    string declares embeddings consumed from trailing input columns;
+    different indices change the affected groups' outputs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from idiaptts_tpu.models.rnn_dyn import convert_legacy_string
+
+    in_dim = 10
+    cfg = convert_legacy_string("RNNDYN-4x8_EMB_(-1)-1_RELU_16-1_FC_3",
+                                in_dim + 1)   # +1 embedding index col
+    cfg.input_names = ("questions",)
+    cfg.output_names = ("pred",)
+    assert len(cfg.emb_configs) == 1
+    assert cfg.emb_configs[0].num_embeddings == 4
+    assert cfg.emb_configs[0].embedding_dim == 8
+    model = cfg.create_model()
+    B, T = 2, 12
+    x = np.random.RandomState(0).randn(B, T, in_dim).astype(np.float32)
+    def run(idx):
+        data = np.concatenate(
+            [x, np.full((B, T, 1), idx, np.float32)], axis=-1)
+        params = model.init({"params": jax.random.PRNGKey(0)},
+                            {"questions": jnp.asarray(data)},
+                            lengths=jnp.array([T, T]), training=False)
+        out = model.apply(params, {"questions": jnp.asarray(data)},
+                          lengths=jnp.array([T, T]), training=False)
+        return np.asarray(out["pred"])
+    out0, out1 = run(0), run(1)
+    assert out0.shape == (B, T, 3)
+    assert np.all(np.isfinite(out0))
+    # Same params (same seed), different embedding index -> different
+    # outputs through the affected (all, -1) groups.
+    assert not np.allclose(out0, out1)
