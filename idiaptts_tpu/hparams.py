@@ -95,6 +95,40 @@ class ExtendedHParams:
     def get(self, name, default=None):
         return self._values.get(name, default)
 
+    def set_hparam(self, name, value):
+        """Typed overwrite of an existing key
+        (ExtendedHParams.py:29-43 role)."""
+        if name not in self._values:
+            raise ValueError("Unknown hyper-parameter: %s" % name)
+        self._set(name, value)
+
+    def get_value(self, attribute, default):
+        """`get` under the reference's name
+        (ExtendedHParams.py:102-106)."""
+        return self._values[attribute] \
+            if self.has_value(attribute) else default
+
+    def enable_backwards_compatibility(self):
+        """Fold legacy key spellings into their current homes
+        (ExtendedHParams.py:108-131 role): ``learning_rate`` seeds
+        ``optimiser_args['lr']``, and deprecated
+        ``checkpoint_epoch``/``checkpoint_step`` become
+        ``epoch_to_load``/``step_to_load``."""
+        import logging as _logging
+        opt_args = self.get("optimiser_args")
+        if isinstance(opt_args, dict) and "lr" not in opt_args \
+                and self.has_value("learning_rate"):
+            opt_args["lr"] = self.get("learning_rate")
+        if self.get("load_from_checkpoint"):
+            for old, new in (("checkpoint_epoch", "epoch_to_load"),
+                             ("checkpoint_step", "step_to_load")):
+                if self.has_value(old):
+                    _logging.warning(
+                        "hparams.%s is deprecated; use %s.", old, new)
+                    self.setattr_no_type_check(new, self.get(old))
+                    self.del_hparam(old)
+                    break
+
     def values(self):
         return dict(self._values)
 

@@ -75,3 +75,24 @@ def test_copy_independent():
     cp = hp.copy()
     cp.xs.append(3)
     assert hp.xs == [1, 2]
+
+
+def test_reference_surface_aliases():
+    """set_hparam / get_value / enable_backwards_compatibility
+    (ExtendedHParams.py:29-131 roles)."""
+    import pytest
+    from idiaptts_tpu.hparams import ExtendedHParams
+    hp = ExtendedHParams.create_hparams()
+    hp.set_hparam("learning_rate", 0.01)
+    assert hp.learning_rate == 0.01
+    with pytest.raises(ValueError):
+        hp.set_hparam("no_such_key", 1)
+    assert hp.get_value("learning_rate", None) == 0.01
+    assert hp.get_value("missing_attribute", "fallback") == "fallback"
+    hp.add_hparams(checkpoint_epoch=7)
+    hp.load_from_checkpoint = True
+    hp.enable_backwards_compatibility()
+    assert hp.get("epoch_to_load") == 7
+    assert not hp.has_value("checkpoint_epoch")
+    if isinstance(hp.get("optimiser_args"), dict):
+        assert hp.optimiser_args.get("lr") == 0.01
