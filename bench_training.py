@@ -66,26 +66,35 @@ def main():
     params, opt_state, loss = train_step(params, opt_state, x, y, mask,
                                          lengths)
     float(loss)
-    runs = 5
+    # Steady-state timing: training steps chain through the params
+    # dependency, so dispatching them back-to-back and syncing ONCE
+    # measures pure step time.  A per-step scalar fetch pays the
+    # tunnel's ~30 ms host round trip every iteration — an environment
+    # artifact; real training loops fetch the loss every N steps.
+    runs = 10
     t0 = time.time()
     for _ in range(runs):
         params, opt_state, loss = train_step(params, opt_state, x, y,
                                              mask, lengths)
-        float(loss)
+    float(loss)
     train_elapsed = (time.time() - t0) / runs
     train_fps = B * T / train_elapsed
 
+    # Inference steps are serialised through a scalar carry (0*acc
+    # touches the input) so back-to-back dispatches cannot stall the
+    # tunneled queue, and ONE final sync closes the chain.
     @jax.jit
-    def infer(params, x, lengths):
-        return model.apply(params, {"questions": x}, lengths=lengths,
-                           training=False)["pred"]
+    def infer_chained(params, x, lengths, acc):
+        out = model.apply(params, {"questions": x + 0.0 * acc},
+                          lengths=lengths, training=False)["pred"]
+        return jnp.sum(out)
 
-    out = infer(params, x, lengths)
-    float(jnp.sum(out))
+    acc = infer_chained(params, x, lengths, jnp.float32(0.0))
+    float(acc)
     t0 = time.time()
     for _ in range(runs):
-        out = infer(params, x, lengths)
-        float(jnp.sum(out))
+        acc = infer_chained(params, x, lengths, acc)
+    float(acc)
     infer_elapsed = (time.time() - t0) / runs
     infer_fps = B * T / infer_elapsed
 
