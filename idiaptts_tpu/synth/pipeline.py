@@ -105,6 +105,16 @@ class FusedAcousticPipeline:
                 sp_blk[..., 2 * D:], lf0_blk[..., 2:],
                 bap_blk[..., 2 * NB:]], axis=-1)
             smoothed = mlpg_solve(fused, factors, tau, F)
+            # Silence the padded tail (same hazard as in
+            # BatchedWorldSynth.__call__): whatever the model predicts
+            # on zero-padded questions must not synthesise audio that
+            # bleeds into the valid frames via the noise overlap-add.
+            t_idx = jnp.arange(smoothed.shape[1])
+            valid = t_idx[None, :] < lengths_b[:, None]
+            silent = jnp.zeros((smoothed.shape[-1],),
+                               smoothed.dtype).at[0].set(-100.0)
+            smoothed = jnp.where(valid[..., None], smoothed, silent)
+            vuv_b = vuv_b & valid
 
             def per_utt(sm, vuv, f0_cont):
                 coded = sm[:, :D]
@@ -245,6 +255,11 @@ class BatchedWorldSynth:
                          np.float32)
         for i, s in enumerate(samples):
             batch[i, :len(s)] = s
+            # Silence the padded tail: all-zero features decode to a
+            # FULL-SCALE aperiodic frame (mcep c=0 -> amplitude 1,
+            # bap 0 -> ap 1) whose noise bleeds into the valid tail
+            # through the overlap-add window.
+            batch[i, len(s):, 0] = -100.0
         f0_cont = jnp.full((len(samples), T), 150.0, jnp.float32)
         key = self._jax.random.PRNGKey(seed)
         wavs = np.asarray(self._run(jnp.asarray(batch), f0_cont, key))

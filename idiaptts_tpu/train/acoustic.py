@@ -189,11 +189,50 @@ class AcousticModelTrainer(ModularTrainer):
         reader_cmp = self.datareaders["cmp_features"]
         if reader_cmp.covs[0] is None or reader_cmp.norm_params is None:
             raise ValueError("cmp reader has no covariances/norm stats")
+        # Multi-input models (e.g. speaker-index EMB columns): extra
+        # inputs ride as trailing columns of the questions matrix and
+        # the model_apply closure splits them back into the data dict,
+        # so the pipeline itself stays single-tensor.
+        input_names = tuple(getattr(handler.model_config,
+                                    "input_names", None)
+                            or ("questions",))
+        extra_names = tuple(n for n in input_names if n != "questions")
+
+        def load_inputs(id_name):
+            q = np.asarray(reader_q[id_name]["questions"], np.float32)
+            if not extra_names:
+                return q
+            cols = [q]
+            for name in extra_names:
+                feat = np.atleast_2d(np.asarray(
+                    self.datareaders[name][id_name][name], np.float32))
+                if feat.shape[0] == 1:
+                    feat = np.broadcast_to(feat,
+                                           (len(q), feat.shape[1]))
+                elif feat.shape[0] != len(q):
+                    raise ValueError(
+                        "fused synth: input '%s' has %d frames vs %d "
+                        "question frames" % (name, feat.shape[0],
+                                             len(q)))
+                cols.append(feat)
+            return np.concatenate(cols, axis=1)
+
+        first = load_inputs(id_list[0])
+        widths = None
+        if extra_names:
+            nq = np.asarray(reader_q[id_list[0]]["questions"]).shape[1]
+            widths = [nq]
+            for name in extra_names:
+                feat = np.atleast_2d(np.asarray(
+                    self.datareaders[name][id_list[0]][name]))
+                widths.append(feat.shape[1])
+            widths = tuple(widths)
         pipe_key = (hparams.get("num_coded_sps", 60),
                     hparams.get("synth_fs", 16000),
                     hparams.get("frame_size_ms", 5),
                     hparams.get("num_bap", 1),
-                    bool(hparams.get("do_post_filtering")))
+                    bool(hparams.get("do_post_filtering")),
+                    input_names, widths)
         cache = getattr(self, "_fused_pipelines", None)
         if cache is None:
             cache = self._fused_pipelines = {}
@@ -216,7 +255,15 @@ class AcousticModelTrainer(ModularTrainer):
                 variables = {"params": params}
                 if batch_stats is not None:
                     variables["batch_stats"] = batch_stats
-                out = model.apply(variables, {"questions": questions_b},
+                if widths is None:
+                    data = {"questions": questions_b}
+                else:
+                    data, ofs = {}, 0
+                    for name, w in zip(("questions",) + extra_names,
+                                       widths):
+                        data[name] = questions_b[..., ofs:ofs + w]
+                        ofs += w
+                out = model.apply(variables, data,
                                   lengths=lengths_b, training=False)
                 return out[output_name]
 
@@ -235,7 +282,7 @@ class AcousticModelTrainer(ModularTrainer):
             cache[pipe_key] = pipeline
         params = handler.ema.shadow if handler.ema is not None \
             else handler.params
-        questions = [np.asarray(reader_q[i]["questions"], np.float32)
+        questions = [first if i == id_list[0] else load_inputs(i)
                      for i in id_list]
         wavs = pipeline(params, questions)
         fs = hparams.get("synth_fs", 16000)

@@ -39,3 +39,34 @@ def test_sharded_serving_pipeline_matches_single_device():
     assert len(out_plain) == len(out_sharded) == 8
     for a, b in zip(out_plain, out_sharded):
         np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_padded_tail_is_silent():
+    """Zero-padded tail frames must not synthesise audio: all-zero
+    features decode to a FULL-SCALE aperiodic frame (mcep c=0 ->
+    amplitude 1, bap 0 -> ap 1) whose noise previously bled into the
+    valid tail through the overlap-add window, drowning quiet signals
+    by ~6 orders of magnitude."""
+    import numpy as np
+    import jax.numpy as jnp
+    from idiaptts_tpu.synth.pipeline import (BatchedWorldSynth,
+                                             _vocode_one)
+    import jax
+
+    rng = np.random.RandomState(0)
+    T, D, NB = 229, 20, 1           # bucket-pads to 256
+    post = np.zeros((T, D + 2 + NB), np.float32)
+    post[:, 0] = -11.87             # very quiet envelope
+    post[:, 1:D] = rng.randn(T, D - 1) * 0.3
+    post[:, D] = 5.24
+    post[:, D + 2] = -6.51
+    bws = BatchedWorldSynth(D, 16000)
+    w = np.asarray(bws([post])[0])
+    # Reference: the unpadded single-frame vocoder on the same features.
+    ref = np.asarray(_vocode_one(
+        jnp.asarray(post[:, :D]), jnp.asarray(post[:, D]),
+        jnp.zeros((T,), bool), jnp.asarray(post[:, D + 2:D + 2 + NB]),
+        jnp.full((T,), 150.0), jax.random.PRNGKey(0),
+        16000, 80, 513, 0.41, 112))
+    assert np.abs(w).max() < 10 * max(np.abs(ref).max(), 1e-12), (
+        np.abs(w).max(), np.abs(ref).max())
