@@ -134,13 +134,43 @@ def main():
     # full computation (block_until_ready under-reports on the tunneled
     # platform; the full-waveform d2h transfer is excluded because the
     # tunnel's ~40 MB/s is an artifact of this environment, not of the
-    # chip).
-    runs = 5
-    t0 = time.time()
-    for _ in range(runs):
-        wavs = pipeline(params, batch, lengths, device_output=True)
-        float(jnp.sum(wavs))
-    elapsed = (time.time() - t0) / runs
+    # chip).  Median over runs: the tunnel adds multi-ms jitter that a
+    # mean would fold into the headline (the r1->r2 "9% regression" was
+    # exactly this noise).
+    def timed(fn, runs=7):
+        samples = []
+        for _ in range(runs):
+            t0 = time.time()
+            out = fn()
+            float(jnp.sum(out[0] if isinstance(out, tuple) else out))
+            samples.append(time.time() - t0)
+        return float(np.median(samples))
+
+    elapsed = timed(lambda: pipeline(params, batch, lengths,
+                                     device_output=True))
+
+    # Per-stage breakdown (individually jitted stage programs): lets
+    # the next regression be localised to model / MLPG / vocoder.
+    model_j, mlpg_j, vocoder_j = pipeline.stage_jits()
+    factors, tau = pipeline._factors_for(batch.shape[1])
+    f0_cont = pipeline._default_f0_cont(batch.shape[0], batch.shape[1])
+    key = jax.random.PRNGKey(0)
+    out = model_j(params, batch, lengths)
+    smoothed, vuv = mlpg_j(out, lengths, factors, tau)
+    float(jnp.sum(vocoder_j(smoothed, vuv, f0_cont, key)))  # warmup
+    t_model = timed(lambda: model_j(params, batch, lengths))
+    t_mlpg = timed(lambda: mlpg_j(out, lengths, factors, tau))
+    t_vocoder = timed(lambda: vocoder_j(smoothed, vuv, f0_cont, key))
+
+    # Roofline view of the dominant stage: matmul FLOPs of the
+    # Interspeech'18 model on the padded bucket (2 FF 1024 + 3 BiLSTM
+    # 512 + FC 67; LSTM gate matmuls = 2*4*h*(in+h) MACs/dir/frame).
+    B, T = batch.shape[0], batch.shape[1]
+    h, ff = 512, 1024
+    flops_frame = (2 * (num_questions * ff + ff * ff)       # FF stack
+                   + 3 * 2 * 2 * 4 * h * (ff + h)           # BiLSTMs
+                   + 2 * ff * 67)                           # FC out
+    model_tflops = flops_frame * B * T / t_model / 1e12
 
     audio_seconds = float(lengths.sum()) * 0.005
     xrt = audio_seconds / elapsed
@@ -149,6 +179,16 @@ def main():
         "value": round(xrt, 2),
         "unit": "x realtime per chip",
         "vs_baseline": round(xrt / 200.0, 3),
+        "detail": {
+            "total_ms": round(elapsed * 1e3, 2),
+            "model_ms": round(t_model * 1e3, 2),
+            "mlpg_ms": round(t_mlpg * 1e3, 2),
+            "vocoder_ms": round(t_vocoder * 1e3, 2),
+            "frames_per_s": int(float(lengths.sum()) / elapsed),
+            "model_tflops_per_s": round(model_tflops, 2),
+            "batch": int(B), "bucket_T": int(T), "runs": 7,
+            "timing": "median",
+        },
     }))
 
 

@@ -24,6 +24,7 @@ class ModelConfig:
     MERGE_ADD = "add"
     MERGE_MEAN = "mean"
     MERGE_MUL = "mul"
+    MERGE_ATTENTION = "attention"
     MERGE_LIST = "list"
 
     def __init__(self, input_names=None, output_names=None,

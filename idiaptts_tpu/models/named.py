@@ -58,7 +58,8 @@ def merge_inputs(data_dict, input_names, merge_type=ModelConfig.MERGE_CAT,
     for v in values[1:]:
         if merge_type == ModelConfig.MERGE_ADD:
             stacked = stacked + v
-        elif merge_type == ModelConfig.MERGE_MUL:
+        elif merge_type in (ModelConfig.MERGE_MUL,
+                            ModelConfig.MERGE_ATTENTION):
             stacked = stacked * v
         elif merge_type == ModelConfig.MERGE_MEAN:
             stacked = stacked + v
@@ -66,6 +67,10 @@ def merge_inputs(data_dict, input_names, merge_type=ModelConfig.MERGE_CAT,
             raise NotImplementedError(merge_type)
     if merge_type == ModelConfig.MERGE_MEAN:
         stacked = stacked / len(values)
+    elif merge_type == ModelConfig.MERGE_ATTENTION:
+        # Attention pooling: weights ⊙ values summed over time, time dim
+        # kept (NamedForwardModule.py:127-130, batch-first -> axis 1).
+        stacked = jnp.sum(stacked, axis=1, keepdims=True)
     return stacked
 
 

@@ -89,11 +89,16 @@ class FusedAcousticPipeline:
         alpha = mcep_ops.fs_to_mgc_alpha(fs)
         F = D + 1 + NB  # fused MLPG feature dim
 
-        def run(params, questions_b, lengths_b, f0_cont_b, factors,
-                tau, key):
+        # The pipeline as three composable stages; ``run`` fuses them
+        # into one jit program, ``stage_jits`` exposes them separately
+        # so bench.py can localise throughput regressions per stage.
+        def model_stage(params, questions_b, lengths_b):
             out = model_apply(params, questions_b, lengths_b)
             if self._mean is not None:
                 out = out * self._scale + self._mean
+            return out
+
+        def mlpg_stage(out, lengths_b, factors, tau):
             sp_blk = out[..., :3 * D]
             lf0_blk = out[..., 3 * D:3 * D + 3]
             vuv_b = out[..., 3 * D + 3] > 0.5
@@ -115,7 +120,9 @@ class FusedAcousticPipeline:
                                smoothed.dtype).at[0].set(-100.0)
             smoothed = jnp.where(valid[..., None], smoothed, silent)
             vuv_b = vuv_b & valid
+            return smoothed, vuv_b
 
+        def vocoder_stage(smoothed, vuv_b, f0_cont_b, key):
             def per_utt(sm, vuv, f0_cont):
                 coded = sm[:, :D]
                 if post_filter:
@@ -127,6 +134,15 @@ class FusedAcousticPipeline:
 
             return jax.vmap(per_utt)(smoothed, vuv_b, f0_cont_b)
 
+        def run(params, questions_b, lengths_b, f0_cont_b, factors,
+                tau, key):
+            out = model_stage(params, questions_b, lengths_b)
+            smoothed, vuv_b = mlpg_stage(out, lengths_b, factors, tau)
+            return vocoder_stage(smoothed, vuv_b, f0_cont_b, key)
+
+        self._stage_fns = (model_stage, mlpg_stage, vocoder_stage)
+        self._stage_jits = None
+
         self.mesh = mesh
         self._batch_sharding = None
         if mesh is not None:
@@ -135,6 +151,15 @@ class FusedAcousticPipeline:
                 mesh, PartitionSpec(data_axis))
             self._replicated = NamedSharding(mesh, PartitionSpec())
         self._run = jax.jit(run)
+
+    def stage_jits(self):
+        """Individually jitted (model, mlpg, vocoder) stage functions —
+        the profiling view of the fused ``run`` program (bench.py's
+        per-stage breakdown)."""
+        if self._stage_jits is None:
+            self._stage_jits = tuple(self._jax.jit(f)
+                                     for f in self._stage_fns)
+        return self._stage_jits
 
     def _default_f0_cont(self, B, T):
         key = (B, T)

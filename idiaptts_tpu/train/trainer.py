@@ -260,11 +260,18 @@ class ModularTrainer:
             import threading
             q = queue.Queue(maxsize=prefetch)
             stop = object()
+            # Producer exceptions must propagate to the consumer (the
+            # reference's DataLoader re-raises worker errors,
+            # ModularModelHandlerPyTorch.py:683); otherwise a bad npz would
+            # silently truncate the epoch.
+            error = []
 
             def worker():
                 try:
                     for batch in produce():
                         q.put(batch)
+                except BaseException as exc:  # noqa: BLE001 - re-raised below
+                    error.append(exc)
                 finally:
                     q.put(stop)
 
@@ -276,6 +283,8 @@ class ModularTrainer:
                     break
                 yield batch
             thread.join()
+            if error:
+                raise error[0]
         else:
             yield from produce()
 
@@ -540,22 +549,56 @@ class ModularTrainer:
         return paths
 
     def gen_figure_from_output(self, id_name, sample, hparams):
+        """Default multi-grid figure (ModularTrainer.py:889-937 role):
+        wide 2-D features become spectrogram-style images, narrow 2-D
+        features become per-column curve overlays, 1-D features single
+        curves; binary-looking columns are drawn as shaded areas (the
+        reference's vuv overlay style)."""
         from idiaptts_tpu.utils.plotter import DataPlotter
         out_dir = hparams.get("synth_dir") or hparams.get("out_dir") \
             or "."
         os.makedirs(out_dir, exist_ok=True)
         path = os.path.join(out_dir, "{}{}".format(
             id_name, hparams.get("gen_figure_ext", ".pdf")))
-        plotter = DataPlotter()
         grid = 0
-        for key, value in sample.items():
-            if isinstance(value, np.ndarray) and value.ndim == 2:
-                plotter.set_data_list(grid_idx=grid,
-                                      data_list=[(value[:, 0], key)])
-                grid += 1
-        if grid:
-            plotter.gen_plot()
-            plotter.save_to_file(path)
+        with DataPlotter() as plotter:
+            plotter.set_title("{} - {}".format(
+                id_name, os.path.basename(
+                    hparams.get("model_name") or "")))
+            for key, value in sorted(sample.items()):
+                if not isinstance(value, np.ndarray) or value.size == 0 \
+                        or np.iscomplexobj(value):
+                    continue
+                if value.ndim == 1:
+                    value = value[:, None]
+                if value.ndim != 2:
+                    continue
+                if value.shape[1] > 4:
+                    # Wide feature (coded sp, questions, ...): image view.
+                    plotter.set_spec_data(grid, value.T
+                                          if value.shape[0] > value.shape[1]
+                                          else value, label=key)
+                    grid += 1
+                    continue
+                curves, areas = [], []
+                for col in range(value.shape[1]):
+                    column = value[:, col]
+                    name = key if value.shape[1] == 1 \
+                        else "{}[{}]".format(key, col)
+                    if np.isin(np.round(column), (0.0, 1.0)).all():
+                        areas.append((np.round(column), "gray", 0.2, name))
+                    else:
+                        curves.append((column, name))
+                if areas:
+                    plotter.set_area_list(grid, areas)
+                if curves:
+                    plotter.set_data_list(grid, curves)
+                if curves or areas:
+                    plotter.set_label(grid, xlabel="frames", ylabel=key)
+                    grid += 1
+            if grid:
+                plotter.gen_plot()
+                plotter.save_to_file(path)
         return path
 
     @staticmethod

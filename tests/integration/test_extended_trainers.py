@@ -417,3 +417,66 @@ def test_multi_speaker_embedding_trainer(fixtures_dir, id_list,
     # Post-processed output: MLPG-smoothed WORLD features
     # (num_coded_sps + lf0 + vuv + bap).
     assert out.shape[-1] == 23 and np.all(np.isfinite(out))
+
+
+def test_classification_trainer_end_to_end(fixtures_dir, id_list,
+                                           num_questions, tmp_path):
+    """ClassificationTrainer end-to-end: train a frame-level classifier
+    on question inputs with a deterministic per-utterance class target,
+    then benchmark through the confusion-matrix + unweighted-accuracy
+    score path (ClassificationTrainer.py:19-48 role)."""
+    import numpy as np
+    from idiaptts_tpu.data.questions import QuestionLabelGen
+    from idiaptts_tpu.data.reader import DataReader
+    from idiaptts_tpu.models.rnn_dyn import convert_legacy_string
+    from idiaptts_tpu.train.classification import ClassificationTrainer
+
+    def class_of(id_name):
+        return hash(id_name) % 2
+
+    class TiledCategoryReader(DataReader):
+        """Per-utterance class id tiled along time; match_length trims
+        it to the question frame count."""
+
+        class Config(DataReader.Config):
+            def create_reader(self):
+                return TiledCategoryReader(self)
+
+        def load(self, id_name):
+            return np.full((4000, 1), class_of(id_name), np.float32)
+
+    hparams = ClassificationTrainer.create_hparams()
+    hparams.set_hparam("num_classes", 2)
+    hparams.out_dir = str(tmp_path / "exp")
+    hparams.model_name = "clf"
+    hparams.epochs = 2
+    hparams.batch_size_train = 3
+    hparams.learning_rate = 0.002
+    hparams.seed = 1
+    hparams.test_set_perc = 0.0
+    hparams.val_set_perc = 0.25
+    hparams.use_best_as_final_model = False
+
+    trainer = ClassificationTrainer(hparams, list(id_list))
+    data_configs = [
+        QuestionLabelGen.Config(
+            name="questions",
+            directory=os.path.join(fixtures_dir, "questions"),
+            num_questions=num_questions,
+            match_length=("class_target",)),
+        TiledCategoryReader.Config(
+            name="class_target", match_length=("questions",)),
+    ]
+    cfg = convert_legacy_string("RNNDYN-2_RELU_32-1_FC_2", num_questions)
+    cfg.input_names = ("questions",)
+    cfg.output_names = ("pred_class",)
+    trainer.init(hparams, model_config=cfg,
+                 data_reader_configs=data_configs)
+    _, losses = trainer.train(hparams)
+    assert losses[-1] < losses[0]
+
+    accuracy, confusion = trainer.benchmark(hparams,
+                                            trainer.id_list_train[:3])
+    assert confusion.shape == (2, 2)
+    assert confusion.sum() > 0
+    assert 0.0 <= accuracy <= 1.0
