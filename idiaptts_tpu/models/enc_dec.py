@@ -50,6 +50,288 @@ class DotProductAttention(nn.Module):
         return jnp.einsum("btp,bpe->bte", weights, values), weights
 
 
+class _AttentionDecoderStep(nn.Module):
+    """One chunked autoregressive step of :class:`AttentionDecoder`:
+    prenet(last frame of previous chunk) + context (fixed slice or
+    per-step dot-product over the encoder memory) -> LSTM stack ->
+    decoder output + projections.  Scanned over chunks with nn.scan;
+    the memory/key/value tensors ride along as broadcast inputs."""
+
+    prenet_dims: tuple
+    lstm_dims: tuple
+    projections: tuple       # ((name, out_dim, hidden_dims, is_ar), ...)
+    n_frames_per_step: int
+    use_dot_attention: bool
+    attention_dim: int
+
+    @nn.compact
+    def __call__(self, carry, inputs):
+        lstm_carries, prev_ar = carry
+        ctx_flat, tgt_flat, use_tf, keys, values, mem_mask = inputs
+        prev = jnp.where(use_tf > 0.5, tgt_flat, prev_ar)
+        pre = prev
+        for i, dim in enumerate(self.prenet_dims):
+            pre = nn.relu(nn.Dense(dim, name="prenet_{}".format(i))(pre))
+
+        if self.use_dot_attention:
+            q = nn.Dense(self.attention_dim, name="query")(pre)
+            scores = jnp.einsum("bd,bpd->bp", q, keys) \
+                / np.sqrt(self.attention_dim)
+            scores = jnp.where(mem_mask, scores, -1e9)
+            attn_w = jax.nn.softmax(scores, axis=-1)
+            context = jnp.einsum("bp,bpe->be", attn_w, values)
+        else:
+            context = ctx_flat
+            attn_w = jnp.zeros((prev.shape[0], keys.shape[1]))
+
+        h = jnp.concatenate([context, pre], axis=-1)
+        new_carries = []
+        for i, dim in enumerate(self.lstm_dims):
+            cell = nn.OptimizedLSTMCell(dim, name="lstm_{}".format(i))
+            c, h = cell(lstm_carries[i], h)
+            new_carries.append(c)
+        dec_out = h
+
+        proj_outs, ar_parts = [], []
+        for name, out_dim, hidden_dims, is_ar in self.projections:
+            y = dec_out
+            for j, hd in enumerate(hidden_dims):
+                y = nn.relu(nn.Dense(
+                    hd, name="proj_{}_{}".format(name, j))(y))
+            y = nn.Dense(out_dim * self.n_frames_per_step,
+                         name="proj_{}".format(name))(y)
+            proj_outs.append(y)
+            if is_ar:
+                # AR input is the LAST frame of the chunk
+                # (DecoderModule._get_teacher_forcing_target semantics:
+                # target[:, n-1::n]).
+                ar_parts.append(
+                    y[..., (self.n_frames_per_step - 1) * out_dim:])
+        next_ar = jnp.concatenate(ar_parts, axis=-1) if ar_parts \
+            else prev_ar
+        return (tuple(new_carries), next_ar), \
+            (dec_out, tuple(proj_outs), attn_w)
+
+
+class AttentionDecoder(nn.Module):
+    """Dict-protocol decoder module with fixed or dot-product attention,
+    prenet, LSTM core and named projections
+    (``enc_dec_dyn.Config.DecoderConfig`` / ``DecoderModule.py:82-329``
+    role; the reference's DotProductAttention.py is an empty stub — the
+    content-based path here completes that intent).
+
+    TPU-native: one ``nn.scan`` over frame chunks for both
+    teacher-forced and free-running decoding (a per-chunk selector picks
+    the next input), so training and inference compile to the same scan
+    and trivially stay parameter-compatible."""
+
+    config: "AttentionDecoder.Config"
+
+    @nn.compact
+    def __call__(self, data_dict, lengths=None, training=False):
+        from idiaptts_tpu.models.named import merge_inputs, select_lengths
+        cfg = self.config
+        memory = merge_inputs(data_dict, cfg.input_names,
+                              cfg.input_merge_type)
+        B, P, E = memory.shape
+        n_step = cfg.n_frames_per_step
+
+        if cfg.attention_type == "fixed":
+            attn = jnp.asarray(data_dict[cfg.attention_name])
+            if attn.shape[-1] < P:
+                attn = jnp.pad(attn, ((0, 0), (0, 0),
+                                      (0, P - attn.shape[-1])))
+            elif attn.shape[-1] > P:
+                attn = attn[..., :P]
+            context = FixedAttention()(attn, memory)   # (B, T, E)
+            T = context.shape[1]
+        else:
+            target_present = cfg.teacher_forcing_input_names and \
+                cfg.teacher_forcing_input_names[0] in data_dict
+            if target_present:
+                T = jnp.asarray(
+                    data_dict[cfg.teacher_forcing_input_names[0]]
+                ).shape[1]
+            else:
+                T = cfg.max_decoder_steps
+            context = None
+
+        num_chunks = max(1, T // n_step)
+        T_used = num_chunks * n_step
+
+        ar_dims = [p[1] for p in cfg.projections if p[3]]
+        ar_dim = sum(ar_dims)
+        tf_names = tuple(cfg.teacher_forcing_input_names or ())
+        have_target = all(nm in data_dict for nm in tf_names) \
+            and len(tf_names) > 0
+        if have_target:
+            tgt = merge_inputs(data_dict, tf_names)
+            tgt = tgt[:, :T_used, :ar_dim]
+            # last frame of each chunk, shifted right by one chunk
+            # (go frame = zeros).
+            last = tgt[:, n_step - 1::n_step]
+            shifted = jnp.concatenate(
+                [jnp.zeros((B, 1, ar_dim)), last[:, :-1]], axis=1)
+        else:
+            shifted = jnp.zeros((B, num_chunks, ar_dim))
+
+        p_tf = cfg.p_teacher_forcing if (training and have_target) \
+            else 0.0
+        if p_tf >= 1.0:
+            use_tf = jnp.ones((B, num_chunks, 1))
+        elif p_tf <= 0.0:
+            use_tf = jnp.zeros((B, num_chunks, 1))
+        else:
+            rng = self.make_rng("teacher") if self.has_rng("teacher") \
+                else jax.random.PRNGKey(0)
+            draw = jax.random.uniform(rng, (1, num_chunks, 1))
+            use_tf = jnp.broadcast_to((draw <= p_tf).astype(jnp.float32),
+                                      (B, num_chunks, 1))
+
+        if cfg.attention_type == "fixed":
+            ctx_c = context[:, :T_used].reshape(B, num_chunks, n_step * E)
+            keys = jnp.zeros((B, P, 1))
+            values = memory
+            mem_mask = jnp.ones((B, P), bool)
+        else:
+            ctx_c = jnp.zeros((B, num_chunks, 0))
+            keys = nn.Dense(cfg.attention_dim, name="key")(memory)
+            values = memory
+            mem_len = select_lengths(lengths, *cfg.input_names)
+            if mem_len is not None:
+                mem_mask = (jnp.arange(P)[None, :]
+                            < jnp.asarray(mem_len)[:, None])
+            else:
+                mem_mask = jnp.ones((B, P), bool)
+
+        scan = nn.scan(_AttentionDecoderStep,
+                       variable_broadcast="params",
+                       split_rngs={"params": False},
+                       in_axes=((1, 1, 1, nn.broadcast, nn.broadcast,
+                                 nn.broadcast),),
+                       out_axes=1)
+        step = scan(prenet_dims=tuple(cfg.prenet_dims),
+                    lstm_dims=tuple(cfg.lstm_dims),
+                    projections=tuple(
+                        (p[0], p[1], tuple(p[2]), p[3])
+                        for p in cfg.projections),
+                    n_frames_per_step=n_step,
+                    use_dot_attention=cfg.attention_type != "fixed",
+                    attention_dim=cfg.attention_dim, name="step")
+        carries = tuple(
+            (jnp.zeros((B, dim)), jnp.zeros((B, dim)))
+            for dim in cfg.lstm_dims)
+        prev0 = jnp.zeros((B, ar_dim))
+        _, (dec_out, proj_outs, attn_w) = step(
+            (carries, prev0),
+            (ctx_c, shifted, use_tf, keys, values, mem_mask))
+
+        out = dict(data_dict)
+        if cfg.decoder_output_name:
+            out[cfg.decoder_output_name] = dec_out
+        for (name, out_dim, _hidden, _ar), y in zip(cfg.projections,
+                                                    proj_outs):
+            out[name] = y.reshape(B, num_chunks * n_step, out_dim)
+        if cfg.attention_type != "fixed":
+            out[cfg.attention_output_name] = attn_w
+        return out
+
+    class Config(ModelConfig):
+        """``enc_dec_dyn.Config.DecoderConfig`` role.  ``projections``
+        are ``ProjectionConfig``-like tuples
+        ``(output_name, out_dim, hidden_dims, is_autoregressive_input)``
+        (reference ProjectionConfig: Config.py:66-78)."""
+
+        def __init__(self, attention_type="fixed",
+                     attention_name="attention_matrix",
+                     attention_dim=128,
+                     attention_output_name="attention",
+                     teacher_forcing_input_names=(),
+                     prenet_dims=(64,), lstm_dims=(128,),
+                     projections=(), decoder_output_name=None,
+                     n_frames_per_step=1, p_teacher_forcing=1.0,
+                     max_decoder_steps=1000, process_group=0,
+                     **kwargs):
+            super().__init__(**kwargs)
+            self.attention_type = attention_type
+            self.attention_name = attention_name
+            self.attention_dim = attention_dim
+            self.attention_output_name = attention_output_name
+            self.teacher_forcing_input_names = tuple(
+                teacher_forcing_input_names or ())
+            self.prenet_dims = tuple(prenet_dims)
+            self.lstm_dims = tuple(lstm_dims)
+            self.projections = tuple(tuple(p) for p in projections)
+            self.decoder_output_name = decoder_output_name
+            self.n_frames_per_step = n_frames_per_step
+            self.p_teacher_forcing = p_teacher_forcing
+            self.max_decoder_steps = max_decoder_steps
+            self.process_group = process_group
+
+        def create_model(self):
+            return AttentionDecoder(config=self)
+
+
+class EncDecGraph(nn.Module):
+    """Config-composed encoder/decoder graph: modules run in
+    process-group order, each reading/writing named tensors in the
+    shared dict (``enc_dec_dyn.Config:168-184`` +
+    ``EncDecDyn.forward``)."""
+
+    modules_list: tuple
+
+    @nn.compact
+    def __call__(self, data_dict, lengths=None, training=False):
+        for module in self.modules_list:
+            data_dict = module(data_dict, lengths=lengths,
+                               training=training)
+        return data_dict
+
+    class ModuleConfig(ModelConfig):
+        """A named submodule: any inner ModelConfig (rnn_dyn.Config,
+        legacy string, ...) lifted into the graph at a process group
+        (reference Config.ModuleConfig)."""
+
+        def __init__(self, config=None, process_group=0, **kwargs):
+            super().__init__(**kwargs)
+            self.config = config
+            self.process_group = process_group
+
+        def create_model(self):
+            inner = self.config
+            if inner.input_names is None:
+                inner.input_names = self.input_names
+            if inner.output_names is None:
+                inner.output_names = self.output_names
+            inner.input_merge_type = self.input_merge_type
+            return inner.create_model()
+
+    class Config(ModelConfig):
+        def __init__(self, modules=None, **kwargs):
+            super().__init__(**kwargs)
+            modules = list(modules or [])
+            max_group = max((getattr(m, "process_group", 0)
+                             for m in modules), default=0)
+            self.process_groups = [[] for _ in range(max_group + 1)]
+            for m in modules:
+                self.process_groups[getattr(m, "process_group", 0)] \
+                    .append(m)
+
+        def module_config(self, name):
+            """Look up a module config by name (reference
+            Config.__getattr__ :185-193 role, as an explicit method)."""
+            for group in self.process_groups:
+                for module in group:
+                    if getattr(module, "name", None) == name:
+                        return module
+            raise AttributeError("No module named {!r}".format(name))
+
+        def create_model(self):
+            return EncDecGraph(modules_list=tuple(
+                m.create_model() for group in self.process_groups
+                for m in group))
+
+
 class _DecoderStep(nn.Module):
     """One autoregressive decoder step: prenet(prev) + context ->
     LSTM -> frames + gate.  Scanned over chunks with nn.scan."""

@@ -43,17 +43,21 @@ def _analysis_jit(raw, fs, hop, window, fft_size, num_bands, order,
 
 
 def world_analysis(raw, fs, num_coded_sps=60, frame_shift_ms=5.0,
-                   fft_size=None):
+                   fft_size=None, mgc_alpha=None):
     """Waveform -> (f0, coded_sp, bap) with one device round trip.
 
     Pads to a length bucket (compile reuse) and trims the frame outputs
-    to the true length.
+    to the true length.  ``mgc_alpha`` overrides the warping
+    coefficient (the reference's fixture corpus uses the Merlin-era
+    0.58 at 16 kHz, AudioProcessing.py:42 commented table, while its
+    live code uses pysptk.mcepalpha -> 0.41).
     """
     if fft_size is None:
         fft_size = mcep_ops.fs_to_frame_length(fs)
     hop = int(fs * frame_shift_ms / 1000.0)
     window = int(2 ** np.ceil(np.log2(fs * 0.03)))
-    alpha = mcep_ops.fs_to_mgc_alpha(fs)
+    alpha = mgc_alpha if mgc_alpha is not None \
+        else mcep_ops.fs_to_mgc_alpha(fs)
     num_bands = max(1, d4c_mod.get_num_aperiodicities(fs))
 
     raw = np.asarray(raw, dtype=np.float32)
@@ -76,7 +80,7 @@ def world_analysis(raw, fs, num_coded_sps=60, frame_shift_ms=5.0,
 
 
 def world_analysis_async(raw, fs, num_coded_sps=60, frame_shift_ms=5.0,
-                         fft_size=None):
+                         fft_size=None, mgc_alpha=None):
     """Dispatch the fused analysis WITHOUT waiting: returns an opaque
     handle for :func:`world_analysis_result`.  Lets corpus extraction
     double-buffer — dispatch utterance i+1 while utterance i's outputs
@@ -85,7 +89,8 @@ def world_analysis_async(raw, fs, num_coded_sps=60, frame_shift_ms=5.0,
         fft_size = mcep_ops.fs_to_frame_length(fs)
     hop = int(fs * frame_shift_ms / 1000.0)
     window = int(2 ** np.ceil(np.log2(fs * 0.03)))
-    alpha = mcep_ops.fs_to_mgc_alpha(fs)
+    alpha = mgc_alpha if mgc_alpha is not None \
+        else mcep_ops.fs_to_mgc_alpha(fs)
     num_bands = max(1, d4c_mod.get_num_aperiodicities(fs))
 
     raw = np.asarray(raw, dtype=np.float32)

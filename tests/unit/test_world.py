@@ -80,38 +80,56 @@ def test_f0_parity_with_reference(ref_fixtures_dir):
     assert np.mean(gpe) < 0.03, np.mean(gpe)
 
 
-def test_mcep_fixed_linear_compat_with_reference(ref_fixtures_dir):
-    """The mcep20 features are equivalent to the reference's
-    (pyworld CheapTrick + pysptk mcep) up to a FIXED affine map.
+def test_mcep_direct_compat_with_reference_fixtures(ref_fixtures_dir):
+    """Repo-extracted mcep matches the reference's fixture mcep20
+    DIRECTLY — no fitted map.
 
-    Raw MCD between the two extractors is ~13 dB — a systematic,
-    signal-independent basis/tilt difference (our envelope is validated
-    against synthetic known-envelope ground truth to ~1 dB elsewhere in
-    this file).  What matters for a migrating user is that the features
-    carry the same information: an affine map fitted on ONE utterance
-    must transfer to a DIFFERENT utterance with small residual.  A
-    regression in CheapTrick/mcep code breaks that transfer.
+    The reference's committed fixtures were extracted with Merlin-era
+    conventions: preemphasis 0.97 (its own extraction tests,
+    test_WorldFeatLabelGen.py:710,773) and warping alpha 0.58 for
+    16 kHz (the commented Merlin table in AudioProcessing.py:42; its
+    live code now returns pysptk.mcepalpha -> 0.41).  With matching
+    settings the full TPU extraction path (our F0 + CheapTrick + UELS
+    mcep) lands at ~2.6-3.1 dB raw MCD against pyworld+pysptk output —
+    the residual is envelope fine structure, not a basis difference
+    (see test_mcep_recovers_sptk_model_exactly).  A regression in
+    F0/CheapTrick/mcep code pushes this pin red.
     """
-    def my_mcep(utt):
-        from idiaptts_tpu.ops.world.extract import world_analysis
+    from idiaptts_tpu.ops.world.extract import world_analysis
+    for utt, bound in [("LJ001-0001", 3.4), ("LJ001-0002", 3.2)]:
         raw, fs = get_raw(os.path.join(ref_fixtures_dir, "database",
-                                       "wav", utt + ".wav"))
-        _, mc, _ = world_analysis(raw, fs, num_coded_sps=20)
+                                       "wav", utt + ".wav"),
+                          preemphasis=0.97)
+        _, mc, _ = world_analysis(raw, fs, num_coded_sps=20,
+                                  mgc_alpha=0.58)
         mc_ref = np.fromfile(
             os.path.join(ref_fixtures_dir, "WORLD", "mcep20",
                          utt + ".mcep"), dtype=np.float32).reshape(-1, 20)
         n = min(len(mc), len(mc_ref))
-        return np.asarray(mc[:n]), mc_ref[:n]
+        d = np.asarray(mc[:n, 1:]) - mc_ref[:n, 1:]
+        mcd = (10.0 / np.log(10)) * np.sqrt(2.0) * np.mean(
+            np.sqrt(np.sum(d ** 2, axis=1)))
+        assert mcd < bound, (utt, mcd)
 
-    x_fit, y_fit = my_mcep("LJ001-0001")
-    x_ev, y_ev = my_mcep("LJ001-0002")
-    xa = np.concatenate([x_fit, np.ones((len(x_fit), 1))], axis=1)
-    m_map = np.linalg.lstsq(xa, y_fit, rcond=None)[0]
-    pred = np.concatenate([x_ev, np.ones((len(x_ev), 1))], axis=1) @ m_map
-    d = pred[:, 1:] - y_ev[:, 1:]
-    mcd = (10.0 / np.log(10)) * np.sqrt(2.0) * np.mean(
-        np.sqrt(np.sum(d ** 2, axis=1)))
-    assert mcd < 3.0, mcd
+
+def test_mcep_recovers_sptk_model_exactly():
+    """The UELS analysis basis IS the SPTK mel-cepstral basis: a
+    spectrum generated from known mel-cepstral coefficients
+    ``log|H| = sum_m c_m cos(m * beta(w))`` must be recovered
+    coefficient-exactly (any basis/measure mismatch shows up as a
+    systematic residual here)."""
+    import jax.numpy as jnp
+    from idiaptts_tpu.ops import mcep as M
+    rng = np.random.RandomState(0)
+    order, bins = 20, 513
+    for alpha in (0.41, 0.58):
+        c_true = rng.randn(8, order + 1) * (0.8 ** np.arange(order + 1))
+        c_true[:, 0] += 2.0
+        _, A = M._bases(bins, order, alpha)
+        amp = np.exp(c_true @ A.T)
+        c_est = np.asarray(M.amp_sp_to_mcep(jnp.asarray(amp), order,
+                                            alpha))
+        assert np.abs(c_est - c_true).max() < 0.02, alpha
 
 
 def test_f0_synthetic_accuracy():
