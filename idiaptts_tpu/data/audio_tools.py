@@ -72,25 +72,22 @@ def normalize_loudness(dir_wav, dir_out, id_list=None,
                              fs)
 
 
-def noise_reduction(dir_wav, dir_out, id_list=None,
-                    noise_frames=10, reduction_db=12.0):
-    """Single-channel spectral-gate noise reduction (replaces the
-    MATLAB spectral subtraction pipeline): the noise profile is
-    estimated from the first frames and attenuated per bin."""
-    import scipy.signal
+def noise_reduction(dir_wav, dir_out, id_list=None, t60=None,
+                    minimum_gain_db=-10.0):
+    """Single-channel noise reduction + optional dereverberation
+    (the reference's MATLAB spectral-subtraction pipeline role,
+    ``single_channel_noise_reduction.py`` + ``runme.m`` config 2):
+    minimum-statistics noise tracking, decision-directed a-priori SNR,
+    Wiener-family gain with a floor, and a Lebart late-reverb model
+    when ``t60`` is given — see :mod:`idiaptts_tpu.ops.enhancement`."""
+    from idiaptts_tpu.ops.enhancement import enhance
     for id_name in _iter_ids(dir_wav, id_list):
         raw, fs = audio_io.get_raw(os.path.join(dir_wav,
                                                 id_name + ".wav"))
-        f, t, spec = scipy.signal.stft(raw, fs, nperseg=512)
-        mag = np.abs(spec)
-        noise_profile = mag[:, :noise_frames].mean(axis=1,
-                                                   keepdims=True)
-        gain = np.maximum(
-            1.0 - noise_profile / np.maximum(mag, 1e-10),
-            10 ** (-reduction_db / 20.0))
-        _, cleaned = scipy.signal.istft(spec * gain, fs, nperseg=512)
+        cleaned = enhance(raw, fs, t60=t60,
+                          minimum_gain_db=minimum_gain_db)
         audio_io.raw_to_file(os.path.join(dir_out, id_name + ".wav"),
-                             cleaned[:len(raw)].astype(np.float32), fs)
+                             cleaned, fs)
 
 
 _TOOLS = {
@@ -112,6 +109,8 @@ def main():
     parser.add_argument("--cutoff", type=float, default=70.0)
     parser.add_argument("--target_dbfs", type=float, default=-20.0)
     parser.add_argument("--silence_db", type=float, default=-50.0)
+    parser.add_argument("--t60", type=float, default=None,
+                        help="reverberation time for dereverberation")
     args = parser.parse_args()
     os.makedirs(args.dir_out, exist_ok=True)
     kwargs = {}
@@ -123,6 +122,8 @@ def main():
         kwargs["target_dbfs"] = args.target_dbfs
     elif args.tool == "silence_remove":
         kwargs["silence_db"] = args.silence_db
+    elif args.tool == "noise_reduction" and args.t60:
+        kwargs["t60"] = args.t60
     _TOOLS[args.tool](args.dir_wav, args.dir_out, args.id_list,
                       **kwargs)
 

@@ -4,15 +4,40 @@ Fills the role of pyworld's D4C + ``code_aperiodicity`` /
 ``decode_aperiodicity`` (``WorldFeatLabelGen.world_extract_features``
 WorldFeatLabelGen.py:805, ``world_features_to_raw`` :940).
 
-TPU-first formulation: instead of D4C's group-delay statistics we
-estimate per-band aperiodicity as the fraction of spectral power that
-sits between harmonics.  For each frame a pitch-synchronous window
-(4 periods) gives a spectrum whose harmonic peaks are sampled by
-interpolation at multiples of f0; inter-harmonic valleys are sampled at
-(h + 0.5) f0.  The ratio valley/peak per 3 kHz band — the WORLD band
-layout — is the aperiodicity ratio.  Coding matches pyworld's
-observable convention on the fixtures: ``bap = ln(ap_ratio)`` clipped to
-``ln(1e-9) ~ -20.72``; unvoiced frames are fully aperiodic (bap = 0).
+TPU-first formulation — chirp-corrected pitch-synchronous probing:
+the f0 TRACK defines a continuous fundamental phase
+``phi(n) = 2*pi*cumsum(f0)/fs``; demodulating the windowed frame at
+``exp(-j*k*phi)`` concentrates harmonic k at DC *even under f0 drift*
+(the classic failure mode of fixed-lag or fixed-bin measures).  Integer
+``k`` slots measure harmonic power, half-integer slots (between
+harmonics) measure the noise density.  With a Nuttall window of 8
+periods (sidelobes < -90 dB, mainlobe < f0/2) the per-band aperiodicity
+
+    ap^2 = N_band / (N_band + P_band)
+    P_band = sum_h 2*(|S_h|^2 - noise_slot) / (sum w)^2
+    N_band = noise_slot * 2 * BW / fs            (with sum w^2 = 1)
+
+is an EXACT noise-amplitude-fraction estimator: on synthetic
+harmonic+noise signals with known per-band ratios it recovers the truth
+to a few percent at 16/22.05/48 kHz with NO calibration constants
+(tests/unit/test_world_d4c_synthetic.py).
+
+D4C observable scale: WORLD's D4C statistic (group-delay concentration
++ the LoveTrain periodicity gate) reports far smaller values on voiced
+speech (its fixture tracks span ln-ap [-20.7, 0] where the physical
+noise fraction spans [-4.2, 0]) because it deliberately excludes
+deterministic jitter/shimmer sidebands and clamps strongly-periodic
+frames to a safeguard floor.  For feature-space compatibility the
+default output applies the fixed log-domain statistic conversion
+``ln ap_d4c = A * ln ap_ratio + B`` below.  Unlike the round-2
+calibration (which compensated a RATE-DEPENDENT floor of the old
+pitch-lag statistic), this map converts between two well-defined
+statistics on top of a rate-exact measurement, so it transfers across
+sample rates by construction; the raw ratio is available via
+``d4c_scale=False``.  Note the reference's own per-frame fine detail is
+majority estimator noise (lag-1 autocorrelation 0.46 inside its
+measured region on the fixture tracks), which bounds any clean
+estimator's frame-level correlation with it.
 """
 
 from functools import partial
@@ -22,9 +47,18 @@ import jax.numpy as jnp
 import numpy as np
 
 _AP_FLOOR = 1e-9
-_WINDOW_PERIODS = 6.0  # narrower mainlobes -> cleaner harmonic valleys
-_CAL_A = 4.93          # log-domain affine calibration to D4C's scale
-_CAL_B = -3.83         # (fit on the LJSpeech fixtures, see _d4c_jit)
+_WINDOW_PERIODS = 8.0   # Nuttall mainlobe halfwidth ~4/T_w < f0/2
+_F0_FLOOR = 71.0
+_DEFAULT_F0 = 160.0     # phase track through unvoiced stretches
+
+# Statistic conversion (measured noise-amplitude fraction -> D4C's
+# observable scale), fit once as a robust 10-90% quantile line through
+# the voiced (ln ap_ratio, ln ap_d4c) pairs of the reference fixture
+# corpus (median-exact by construction; the clip at 0 preserves
+# ap_ratio=1 -> ap_d4c=1); see module docstring for why this transfers
+# across sample rates.
+_D4C_SCALE_A = 5.30
+_D4C_SCALE_B = 6.84
 
 
 def get_num_aperiodicities(fs):
@@ -34,96 +68,118 @@ def get_num_aperiodicities(fs):
     return int(min(15000.0, fs / 2.0 - 3000.0) / 3000.0)
 
 
-_CORR_WIN = 512  # ~3 periods at 100 Hz / 16 kHz
+def _nuttall(t_norm):
+    """Nuttall window on |t_norm| <= 1 (masked outside)."""
+    inside = jnp.abs(t_norm) <= 1.0
+    x = jnp.pi * (t_norm + 1.0)          # [0, 2*pi] inside
+    w = (0.355768 - 0.487396 * jnp.cos(x) + 0.144232 * jnp.cos(2 * x)
+         - 0.012604 * jnp.cos(3 * x))
+    return jnp.where(inside, w, 0.0)
 
 
-@partial(jax.jit, static_argnames=("fs", "hop", "fft_size", "num_bands"))
-def _d4c_jit(raw, f0, fs, hop, fft_size, num_bands):
-    """Per-band aperiodicity via pitch-lag normalised autocorrelation.
+@partial(jax.jit, static_argnames=("fs", "hop", "fft_size", "num_bands",
+                                   "d4c_scale"))
+def _d4c_jit(raw, f0, fs, hop, fft_size, num_bands, d4c_scale=True):
+    """Chirp-corrected harmonic/half-harmonic probe aperiodicity.
 
-    Each band-limited signal's correlation at the frame's own pitch lag
-    measures the periodic power fraction r; aperiodicity = sqrt(1 - r).
-    Unlike a harmonic/valley spectral measure this is insensitive to
-    slow f0 drift inside the analysis window.
+    ``fft_size`` is kept for signature compatibility (the probe method
+    needs no FFT grid).
     """
     T = f0.shape[0]
-    N = raw.shape[0]
-    f0_eff = jnp.where(f0 > 0, jnp.maximum(f0, 50.0), 160.0)
-    lag = jnp.round(fs / f0_eff).astype(jnp.int32)          # (T,)
+    f0_eff = jnp.where(f0 > 0, jnp.maximum(f0, _F0_FLOOR), _DEFAULT_F0)
 
-    # Analytic band-limited signals via one full-signal FFT per band:
-    # the MAGNITUDE of the complex pitch-lag correlation is insensitive
-    # to sub-sample lag error, which would otherwise destroy HF
-    # correlation (1 sample at 3 kHz = 1.2 rad of carrier phase).
-    full = jnp.fft.fft(raw)
-    freqs = jnp.fft.fftfreq(N, 1.0 / fs) * 1.0
-    band_signals = []
-    for b in range(num_bands):
-        lo_f = 3000.0 * b + 1500.0
-        hi_f = 3000.0 * b + 4500.0
-        trans = 500.0
-        mask = (jnp.clip((freqs - (lo_f - trans)) / trans, 0.0, 1.0)
-                * jnp.clip(((hi_f + trans) - freqs) / trans, 0.0, 1.0))
-        band_signals.append(jnp.fft.ifft(full * 2.0 * mask))  # analytic
+    # --- continuous fundamental phase from the track ------------------
+    f0_samples = jnp.repeat(f0_eff, hop, total_repeat_length=T * hop)
+    need = T * hop + hop
+    f0_samples = jnp.pad(f0_samples, (0, need - T * hop), mode="edge")
+    phi = 2.0 * jnp.pi * jnp.cumsum(f0_samples) / fs      # (need,)
 
-    win = _CORR_WIN
-    max_lag = 512
-    lagc = jnp.minimum(lag, max_lag)
+    # --- gather-free framing (hop-grid slices) ------------------------
+    W = int(2 ** np.ceil(np.log2(_WINDOW_PERIODS * fs / _F0_FLOOR)))
+    half = W // 2
+    rows_per_frame = -(-W // hop) + 1
+    ext = rows_per_frame * hop
 
-    # Gather-free framing: the frame starts lie on a regular hop grid,
-    # so (T, ext) windows are a stack of shifted SLICES of the
-    # hop-reshaped signal — large dynamic gathers dominate TPU time
-    # otherwise (same lesson as the synthesis harmonic bank).
-    rows_per_frame = -(-(win + max_lag + 2) // hop)          # ceil
-    ext = rows_per_frame * hop                               # >= 1026
-    nfft = int(2 ** np.ceil(np.log2(win + max_lag + 2 + win)))
-
-    def frame_ext(z):
-        zp = jnp.pad(z, (win // 2, ext + hop))
-        rows = zp[:(T + rows_per_frame) * hop].reshape(-1, hop)
+    def frame(sig, fill):
+        sp = jnp.pad(sig, (half, ext + hop), constant_values=fill)
+        rows = sp[:(T + rows_per_frame) * hop].reshape(-1, hop)
         return jnp.concatenate(
             [rows[i:i + T] for i in range(rows_per_frame)],
-            axis=1)                                          # (T, ext)
+            axis=1)[:, :W]                                 # (T, W)
 
-    # Correlation against the frame's own pitch lag, evaluated from the
-    # full FFT cross-correlation (three scalar lookups per frame instead
-    # of three (T, win) dynamic gathers):
-    #   c(L) = sum_n a[n] conj(z[n+L]) = conj(ifft(conj(fft(a)) fft(z)))
-    lag3 = (lagc[:, None] + jnp.arange(-1, 2)[None, :])      # (T, 3)
-    ap = []
-    for z in band_signals:
-        fr = frame_ext(z)                                    # (T, ext)
-        a = fr[:, :win]
-        e0 = jnp.sum(jnp.abs(a) ** 2, axis=1)
-        A = jnp.fft.fft(a, n=nfft, axis=1)
-        Z = jnp.fft.fft(fr, n=nfft, axis=1)
-        corr = jnp.abs(jnp.fft.ifft(jnp.conj(A) * Z, axis=1))
-        # Sliding lag-window energy from one prefix sum.
-        prefix = jnp.cumsum(
-            jnp.concatenate([jnp.zeros((T, 1)),
-                             jnp.abs(fr) ** 2], axis=1), axis=1)
-        num = jnp.take_along_axis(corr, lag3, axis=1)        # (T, 3)
-        e1 = (jnp.take_along_axis(prefix, lag3 + win, axis=1)
-              - jnp.take_along_axis(prefix, lag3, axis=1))
-        r = num / jnp.sqrt(jnp.maximum(e0[:, None] * e1, 1e-20))
-        # Max over the +-1 lag neighbourhood compensates the bulk
-        # sub-sample period error (a full sample would cancel the sum).
-        best_r = jnp.max(r, axis=1)
-        ap.append(jnp.sqrt(jnp.clip(1.0 - best_r, _AP_FLOOR ** 2, 1.0)))
-    ap = jnp.stack(ap, axis=1)                               # (T, bands)
-    # Calibration to the WORLD/D4C scale: the pitch-lag correlation
-    # measure compresses into ln-ap [-1.4, 0]; an affine map in the log
-    # domain (fit against the reference's D4C tracks on the LJSpeech
-    # fixtures) restores pyworld's observable range [-16, 0].
-    ap = jnp.exp(jnp.clip(_CAL_A * jnp.log(ap) + _CAL_B,
-                          np.log(_AP_FLOOR), 0.0))
+    N = raw.shape[0]
+    x_f = frame(jnp.pad(raw, (0, max(0, need - N)))[:need], 0.0)
+    phi_f = frame(phi, 0.0)
+    # Phase relative to the frame centre keeps exp() arguments small.
+    phi_f = phi_f - phi_f[:, half:half + 1]
+
+    # --- masked pitch-adaptive Nuttall window -------------------------
+    offs = jnp.arange(W) - half
+    half_win = jnp.minimum(0.5 * _WINDOW_PERIODS * fs / f0_eff,
+                           float(half - 1))
+    t_norm = offs[None, :] / half_win[:, None]
+    w = _nuttall(t_norm)
+    w = w / jnp.sqrt(jnp.sum(w ** 2, axis=1, keepdims=True) + 1e-20)
+    wsum2 = jnp.sum(w, axis=1) ** 2                        # (T,)
+    xw = (x_f * w).astype(jnp.complex64)
+
+    # --- S_k for k = 0.5, 1.0, ... via incremental half-step phasors --
+    K_half = int(2 * np.floor((fs / 2.0) / _F0_FLOOR))     # slot count
+    v_half = jnp.exp(-0.5j * phi_f).astype(jnp.complex64)
+
+    def body(z, _):
+        s = jnp.sum(xw * z, axis=1)                        # (T,)
+        return z * v_half, s
+
+    _, S = jax.lax.scan(body, v_half, None, length=K_half)
+    S = jnp.transpose(S)                                   # (T, K_half)
+    P = jnp.abs(S) ** 2
+    ks = (jnp.arange(K_half) + 1) * 0.5                    # 0.5, 1.0, ..
+    freqs = ks[None, :] * f0_eff[:, None]                  # (T, K)
+    is_harm = (jnp.arange(K_half) % 2) == 1                # k integer
+    valid = freqs < (fs / 2.0 - 0.5 * f0_eff[:, None])
+
+    # --- per-band accounting ------------------------------------------
+    edges = [0.0] + [3000.0 * (b + 1) + 1500.0
+                     for b in range(num_bands - 1)] + [fs / 2.0 + 1.0]
+    aps = []
+    for b in range(num_bands):
+        in_band = (freqs >= edges[b]) & (freqs < edges[b + 1]) & valid
+        noise_m = in_band & (~is_harm)[None, :]
+        harm_m = in_band & is_harm[None, :]
+        n_noise = jnp.sum(noise_m, axis=1)
+        noise_slot = jnp.sum(jnp.where(noise_m, P, 0.0), axis=1) \
+            / jnp.maximum(n_noise, 1)
+        p_per = jnp.sum(jnp.where(
+            harm_m, jnp.maximum(P - noise_slot[:, None], 0.0), 0.0),
+            axis=1) * 2.0 / jnp.maximum(wsum2, 1e-20)
+        bw = min(edges[b + 1], fs / 2.0) - edges[b]
+        p_noise = noise_slot * 2.0 * bw / fs
+        ap2 = p_noise / (p_noise + p_per + 1e-30)
+        ap = jnp.sqrt(jnp.clip(ap2, _AP_FLOOR ** 2, 1.0))
+        # Bands with no usable slots (f0 too high): fully aperiodic.
+        ap = jnp.where((n_noise > 0)
+                       & (jnp.sum(harm_m, axis=1) > 0), ap, 1.0)
+        aps.append(ap)
+    ap = jnp.stack(aps, axis=1)                            # (T, bands)
+
+    if d4c_scale:
+        # Statistic conversion to D4C's observable range (see module
+        # docstring; rate-safe because the underlying ratio is).
+        ap = jnp.exp(jnp.clip(
+            _D4C_SCALE_A * jnp.log(ap) + _D4C_SCALE_B,
+            np.log(_AP_FLOOR), 0.0))
     # Unvoiced frames: fully aperiodic.
     ap = jnp.where((f0 > 0)[:, None], ap, 1.0)
     return ap
 
 
-def d4c_band_aperiodicity(raw, f0, fs, frame_shift_ms=5.0, fft_size=None):
-    """Band aperiodicity amplitude ratios (T, num_bands) in (0, 1]."""
+def d4c_band_aperiodicity(raw, f0, fs, frame_shift_ms=5.0, fft_size=None,
+                          d4c_scale=True):
+    """Band aperiodicity amplitude ratios (T, num_bands) in (0, 1].
+
+    ``d4c_scale=False`` returns the raw physical noise-amplitude
+    fraction (exact on synthetic ground truth, no constants)."""
     from idiaptts_tpu.ops.mcep import fs_to_frame_length
     from idiaptts_tpu.ops.world.cheaptrick import _bucket_frames
     if fft_size is None:
@@ -132,7 +188,7 @@ def d4c_band_aperiodicity(raw, f0, fs, frame_shift_ms=5.0, fft_size=None):
     num_bands = max(1, get_num_aperiodicities(fs))
     raw_p, f0_p, T = _bucket_frames(raw, f0, hop)
     out = _d4c_jit(jnp.asarray(raw_p), jnp.asarray(f0_p), int(fs), hop,
-                   int(fft_size), num_bands)
+                   int(fft_size), num_bands, d4c_scale=bool(d4c_scale))
     return out[:T]
 
 

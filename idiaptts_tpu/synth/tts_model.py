@@ -62,14 +62,23 @@ class TTSModel:
 
     @staticmethod
     def run_front_end(hparams, input_strings, out_dir):
-        """Text -> HTS full labels via the configured front-end command
-        (Festival makeLabels.sh in the reference, TTSModel.py:88-98)."""
+        """Text -> HTS full labels.
+
+        With ``front_end_cmd`` configured: external subprocess (the
+        reference's Festival makeLabels.sh path, TTSModel.py:88-98).
+        Otherwise: the self-contained builtin front end
+        (:mod:`idiaptts_tpu.synth.frontend` — lexicon/rule G2P +
+        full-context label emission), so the text->speech pipeline
+        works on a machine without Festival.  ``hparams.front_end``
+        may name a lexicon file via ``lexicon:<path>``."""
         front_end_cmd = hparams.get("front_end_cmd")
         if not front_end_cmd:
-            raise RuntimeError(
-                "No front_end_cmd configured (Festival front end is an "
-                "external tool); provide precomputed labels via "
-                "label_dir instead.")
+            from idiaptts_tpu.synth.frontend import BuiltinFrontEnd
+            spec = hparams.get("front_end") or ""
+            lexicon = spec.split(":", 1)[1] \
+                if spec.startswith("lexicon:") else None
+            return BuiltinFrontEnd(lexicon_path=lexicon).write_labels(
+                input_strings, out_dir)
         os.makedirs(out_dir, exist_ok=True)
         synth_txt = os.path.join(out_dir, "synth.txt")
         with open(synth_txt, "w") as f:

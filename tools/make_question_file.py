@@ -66,12 +66,37 @@ CQS_QUESTIONS = [
     ("Num_Phones", r"/J/(\d+)+"),
 ]
 
+# CQS patterns support literals, ``*`` wildcards and ``(\d+)`` groups
+# (wildcards2regex semantics); a pattern without a trailing ``*`` is
+# end-anchored, which pins Word_Idx to the final ``-<idx>`` field.
+RICH_CQS_QUESTIONS = CQS_QUESTIONS + [
+    ("Num_Vowels", r"*+(\d+)-*"),
+    ("Word_Idx", r"*-(\d+)"),
+]
 
-def build_questions(phones, class_map):
+# Vowel articulatory features over ARPABET (public phonetics): used by
+# --rich to reach the reference's full-scale question-file coverage
+# (questions-en-radio_dnn_416.hed ships ~416 questions).
+VOWEL_FEATURES = {
+    "front": ["iy", "ih", "eh", "ae", "ey"],
+    "central": ["ah", "ax", "er"],
+    "back": ["aa", "ao", "ow", "uh", "uw"],
+    "high": ["iy", "ih", "uh", "uw"],
+    "mid": ["eh", "ah", "ax", "er", "ey", "ow"],
+    "low": ["aa", "ae", "ao", "aw", "ay"],
+    "rounded": ["ao", "ow", "uh", "uw", "oy"],
+    "diphthong": ["aw", "ay", "ey", "oy", "ow"],
+}
+
+
+def build_questions(phones, class_map, rich=False):
     """phones: iterable of names; class_map: {phone: (class, voiced)}.
-    Returns the .hed lines."""
+    Returns the .hed lines.  ``rich`` adds class/voicing/vowel-feature
+    questions at ALL five quinphone positions (full-scale sets on the
+    reference's questions-en-radio_dnn_416 model)."""
     lines = []
     order = sorted(phones)
+    phone_set = set(order)
     for pos, pattern in POSITION_PATTERNS.items():
         for phone in order:
             lines.append('QS "%s-%s" {%s}'
@@ -82,10 +107,20 @@ def build_questions(phones, class_map):
         classes.setdefault(cls, []).append(phone)
         if voiced:
             classes.setdefault("voiced", []).append(phone)
-    for cls, members in sorted(classes.items()):
-        patterns = ",".join("*-%s+*" % m for m in sorted(set(members)))
-        lines.append('QS "C-%s" {%s}' % (cls, patterns))
-    for key, pattern in CQS_QUESTIONS:
+    if rich:
+        for feat, members in VOWEL_FEATURES.items():
+            members = [m for m in members if m in phone_set]
+            if members:
+                classes.setdefault(feat, []).extend(members)
+    group_positions = POSITION_PATTERNS.items() if rich \
+        else [("C", POSITION_PATTERNS["C"])]
+    for pos, pattern in group_positions:
+        for cls, members in sorted(classes.items()):
+            pats = ",".join(pattern.format(p=m)
+                            for m in sorted(set(members)))
+            lines.append('QS "%s-%s" {%s}' % (pos, cls, pats))
+    for key, pattern in (RICH_CQS_QUESTIONS if rich
+                         else CQS_QUESTIONS):
         lines.append('CQS "%s" {%s}' % (key, pattern))
     return lines
 
@@ -98,6 +133,10 @@ def main():
     parser.add_argument("--class_map", default=None,
                         help="TSV: phone<TAB>class[,voiced]")
     parser.add_argument("--out", required=True)
+    parser.add_argument("--rich", action="store_true",
+                        help="class/voicing/vowel-feature questions at "
+                             "all five quinphone positions (full-scale "
+                             "416-style set)")
     args = parser.parse_args()
 
     if args.phone_set == "arpabet":
@@ -119,7 +158,7 @@ def main():
     else:
         parser.error("need --phone_set or --phone_list")
 
-    lines = build_questions(phones, class_map)
+    lines = build_questions(phones, class_map, rich=args.rich)
     with open(args.out, "w") as f:
         f.write("\n".join(lines) + "\n")
     print("wrote {} questions to {}".format(len(lines), args.out))
