@@ -62,7 +62,8 @@ class WorldFeatLabelGen(NpzDataReader, LabelGen):
                      postprocessing_fn=None, postprocess_before_norm=False,
                      add_deltas=False, preemphasis=0.0, n_fft=None,
                      win_length_ms=None, num_coded_sps=60, num_bap=1,
-                     sp_type="mcep", frame_shift_ms=5.0, load_sp=True,
+                     sp_type="mcep", mgc_alpha=None,
+                     frame_shift_ms=5.0, load_sp=True,
                      load_lf0=True, load_vuv=True, load_bap=True,
                      apply_mlpg=True, **kwargs):
             if norm_type is None:
@@ -85,6 +86,10 @@ class WorldFeatLabelGen(NpzDataReader, LabelGen):
             self.num_coded_sps = num_coded_sps
             self.num_bap = num_bap
             self.sp_type = sp_type
+            # Warping-coefficient override (e.g. Merlin's 0.58 at
+            # 16 kHz, the reference fixture convention — see
+            # ops/mcep.fs_to_mgc_alpha and ARCHITECTURE.md).
+            self.mgc_alpha = mgc_alpha
             self.frame_shift_ms = frame_shift_ms
             self.load_sp = load_sp
             self.load_lf0 = load_lf0
@@ -115,6 +120,7 @@ class WorldFeatLabelGen(NpzDataReader, LabelGen):
         self.num_coded_sps = config.num_coded_sps
         self.num_bap = config.num_bap
         self.sp_type = config.sp_type
+        self.mgc_alpha = getattr(config, "mgc_alpha", None)
         self.frame_shift_ms = config.frame_shift_ms
         self.load_sp = config.load_sp
         self.load_lf0 = config.load_lf0
@@ -390,7 +396,8 @@ class WorldFeatLabelGen(NpzDataReader, LabelGen):
     @staticmethod
     def extract_features(dir_in, file_name, file_ext="wav",
                          num_coded_sps=60, sp_type="mcep",
-                         preemphasis=0.0, frame_shift_ms=5.0):
+                         preemphasis=0.0, frame_shift_ms=5.0,
+                         mgc_alpha=None):
         """One utterance -> (coded_sp, lf0, vuv, bap)."""
         audio_name = os.path.join(dir_in, "{}.{}".format(file_name,
                                                          file_ext))
@@ -399,7 +406,8 @@ class WorldFeatLabelGen(NpzDataReader, LabelGen):
             # Fused single-jit analysis: one device round trip.
             from idiaptts_tpu.ops.world.extract import world_analysis
             f0, coded_sp, bap = world_analysis(
-                raw, fs, num_coded_sps, frame_shift_ms)
+                raw, fs, num_coded_sps, frame_shift_ms,
+                mgc_alpha=mgc_alpha)
             f0 = np.array(f0)
             f0[f0 < 20.0] = 0.0
             ip_f0, vuv = interpolate_lin(f0)
@@ -520,7 +528,7 @@ class WorldFeatLabelGen(NpzDataReader, LabelGen):
                 feats, fs = self.extract_features(
                     dir_in, file_name, file_ext, self.num_coded_sps,
                     self.sp_type, self.preemphasis,
-                    self.frame_shift_ms)
+                    self.frame_shift_ms, mgc_alpha=self.mgc_alpha)
                 yield file_name, feats, fs
             return
 
@@ -532,7 +540,8 @@ class WorldFeatLabelGen(NpzDataReader, LabelGen):
                 file_name, file_ext))
             raw, fs = audio_io.get_raw(audio_name, self.preemphasis)
             handle = world_analysis_async(raw, fs, self.num_coded_sps,
-                                          self.frame_shift_ms)
+                                          self.frame_shift_ms,
+                                          mgc_alpha=self.mgc_alpha)
             return file_name, handle, fs
 
         def finalise(pending):

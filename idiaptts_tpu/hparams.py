@@ -265,6 +265,7 @@ class ExtendedHParams:
             dtype="float32",         # parameter dtype
             compute_dtype="bfloat16",
             num_coded_sps=60,
+            mgc_alpha=None,          # warping override (Merlin 0.58@16k)
             seed=1234,
             fp16_run=False,
             distributed_run=False,

@@ -89,6 +89,33 @@ def _sample_log_field(log_field, x, num_ceps=64):
     return acc
 
 
+def _harmonic_bank(f0, f0_safe, amp, fs, hop):
+    """N-domain additive synthesis shared by the field-sampled and
+    direct-mcep harmonic paths: per-sample phase accumulation + the
+    minimax sin bank.  amp (T, H) per-frame harmonic amplitudes."""
+    T, H = amp.shape
+    h = jnp.arange(1, H + 1, dtype=jnp.float32)
+    # Per-sample upsampling via reshape (no gathers): sample n in frame
+    # chunk t uses weights (1-k/hop, k/hop) against frames t, t+1.
+    N = T * hop
+    w = (jnp.arange(hop) / hop)                        # (hop,)
+    f0_next = jnp.concatenate([f0_safe[1:], f0_safe[-1:]])
+    f0_s = (f0_safe[:, None] * (1 - w)[None, :]
+            + f0_next[:, None] * w[None, :]).reshape(N)
+    # Phase accumulation in cycles, wrapped to [0, 1): sin(2*pi*h*Phi)
+    # equals sin(2*pi*h*(Phi mod 1)) for integer h, and keeping the
+    # argument small preserves f32 phase accuracy over long utterances
+    # (raw phase reaches ~1e7 rad) and avoids slow range reduction.
+    cycles = jnp.cumsum(f0_s) / fs
+    cycles = jnp.mod(cycles, 1.0)                      # (N,)
+    arg = jnp.mod(cycles[:, None] * h[None, :], 1.0)   # (N, H) in [0,1)
+
+    amp_next = jnp.concatenate([amp[1:], amp[-1:]], axis=0)
+    amp_s = (amp[:, None, :] * (1 - w)[None, :, None]
+             + amp_next[:, None, :] * w[None, :, None]).reshape(N, -1)
+    return jnp.sum(amp_s * _sin_cycles(arg), axis=1)
+
+
 @partial(jax.jit, static_argnames=("fs", "hop", "max_harmonics"))
 def _harmonic_part(f0, f0_cont, sp_power, ap, fs, hop, max_harmonics):
     """Additive harmonic synthesis.  f0 (T,) with unvoiced zeros,
@@ -117,49 +144,133 @@ def _harmonic_part(f0, f0_cont, sp_power, ap, fs, hop, max_harmonics):
     # ±0.3 dB in the round-trip test).
     amp = 2.0 * jnp.sqrt(env_p * f0_safe[:, None] / fs)
     amp = amp * periodic_frac * below_nyq * voiced[:, None]
+    return _harmonic_bank(f0, f0_safe, amp, fs, hop)
 
-    # Per-sample upsampling via reshape (no gathers): sample n in frame
-    # chunk t uses weights (1-k/hop, k/hop) against frames t, t+1.
-    N = T * hop
-    w = (jnp.arange(hop) / hop)                        # (hop,)
-    f0_next = jnp.concatenate([f0_safe[1:], f0_safe[-1:]])
-    f0_s = (f0_safe[:, None] * (1 - w)[None, :]
-            + f0_next[:, None] * w[None, :]).reshape(N)
-    # Phase accumulation in cycles, wrapped to [0, 1): sin(2*pi*h*Phi)
-    # equals sin(2*pi*h*(Phi mod 1)) for integer h, and keeping the
-    # argument small preserves f32 phase accuracy over long utterances
-    # (raw phase reaches ~1e7 rad) and avoids slow range reduction.
-    cycles = jnp.cumsum(f0_s) / fs
-    cycles = jnp.mod(cycles, 1.0)                      # (N,)
-    arg = jnp.mod(cycles[:, None] * h[None, :], 1.0)   # (N, H) in [0,1)
 
-    amp_next = jnp.concatenate([amp[1:], amp[-1:]], axis=0)
-    amp_s = (amp[:, None, :] * (1 - w)[None, :, None]
-             + amp_next[:, None, :] * w[None, :, None]).reshape(N, -1)
-    return jnp.sum(amp_s * _sin_cycles(arg), axis=1)
+def _ap_at_freqs(bap, freqs, fs):
+    """Aperiodicity ratio evaluated directly at arbitrary frequencies
+    (T, H) — same piecewise-linear-in-log band model as
+    d4c.decode_aperiodicity, without materialising the bin grid.
+    bap (T, NB) coded log ratios; freqs (T, H) Hz."""
+    from idiaptts_tpu.ops.world.d4c import _AP_FLOOR
+    num_bands = bap.shape[-1]
+    log_floor = float(np.log(_AP_FLOOR))
+    log_ratio = jnp.clip(bap, log_floor, 0.0)
+    anchors_f = np.concatenate([
+        [0.0], 3000.0 * (np.arange(num_bands) + 1.0), [fs / 2.0]])
+    anchors_v = jnp.concatenate(
+        [jnp.full(bap.shape[:-1] + (1,), log_floor),
+         log_ratio, log_ratio[..., -1:]], axis=-1)   # (T, NB + 2)
+    ap_log = jnp.broadcast_to(anchors_v[..., -1:], freqs.shape)
+    # Static segment sweep (<= 6 segments): later matches overwrite.
+    for s in range(len(anchors_f) - 1, 0, -1):
+        f_lo, f_hi = anchors_f[s - 1], anchors_f[s]
+        w = (freqs - f_lo) / max(f_hi - f_lo, 1e-9)
+        seg = (anchors_v[..., s - 1:s] * (1.0 - w)
+               + anchors_v[..., s:s + 1] * w)
+        ap_log = jnp.where(freqs < f_hi, seg, ap_log)
+    return jnp.clip(jnp.exp(ap_log), _AP_FLOOR, 1.0)
+
+
+@partial(jax.jit,
+         static_argnames=("fs", "hop", "alpha", "max_harmonics"))
+def _harmonic_part_mcep(f0, f0_cont, coded, bap, fs, hop, alpha,
+                        max_harmonics):
+    """Harmonic synthesis straight from coded features: the mel-cepstral
+    log envelope ``log_amp(w) = sum_m c_m cos(m * beta(w))`` (the exact
+    model mcep_to_amp_sp renders onto a bin grid, ops/mcep.py:132) is
+    evaluated directly at the harmonic frequencies via the analytic
+    all-pass warp — skipping the grid render, the re-cepstrum irfft and
+    the 64-term resampling recurrence of the field-sampled path
+    (~3x vocoder-stage time at bench shapes).  Numerically this is the
+    same function _harmonic_part approximates through its smooth-field
+    resampling, so the two paths agree to the resampling tolerance."""
+    T = coded.shape[0]
+    voiced = f0 > 0
+    f0_safe = f0_cont
+    h = jnp.arange(1, max_harmonics + 1, dtype=jnp.float32)
+    harm_freq = h[None, :] * f0_safe[:, None]          # (T, H)
+    below_nyq = harm_freq < (fs / 2.0 * (1.0 - 2.0 / 1024.0))
+
+    omega = (2.0 * jnp.pi) * jnp.clip(harm_freq / fs, 0.0, 0.5)
+    beta = omega + 2.0 * jnp.arctan2(
+        alpha * jnp.sin(omega), 1.0 - alpha * jnp.cos(omega))
+    # log_amp = sum_m c_m cos(m beta): Chebyshev recurrence, statically
+    # unrolled over the cepstral order (order+1 fused fma steps).
+    cos1 = jnp.cos(beta)
+    c_prev = jnp.ones_like(cos1)
+    c_cur = cos1
+    log_amp = coded[:, 0:1] + coded[:, 1:2] * cos1
+    for m in range(2, coded.shape[-1]):
+        c_prev, c_cur = c_cur, 2.0 * cos1 * c_cur - c_prev
+        log_amp = log_amp + coded[:, m:m + 1] * c_cur
+    env_p = jnp.exp(2.0 * log_amp)
+
+    ap_h = _ap_at_freqs(bap, harm_freq, fs)
+    periodic_frac = jnp.sqrt(jnp.clip(1.0 - ap_h ** 2, 0.0, 1.0))
+    amp = 2.0 * jnp.sqrt(env_p * f0_safe[:, None] / fs)
+    amp = amp * periodic_frac * below_nyq * voiced[:, None]
+    return _harmonic_bank(f0, f0_safe, amp, fs, hop)
 
 
 @partial(jax.jit, static_argnames=("fs", "hop"))
 def _noise_part(f0, sp_power, ap, fs, hop, key):
-    """Shaped-noise synthesis via one STFT multiply + overlap-add."""
+    """Shaped-noise synthesis directly in the frequency domain.
+
+    Instead of time-domain white noise -> STFT -> multiply -> iSTFT
+    (whose gather-framing and colliding scatter overlap-add dominate
+    TPU time), draw each frame's spectrum as iid complex Gaussians,
+    scale by the target amplitude, and overlap-add the windowed
+    irffts on a dense hop-aligned layout (no gathers or scatters).
+
+    Statistics: a frame spectrum X_k = Z_k * A_k with Z ~ CN(0,1)
+    gives the irfft'd frame a two-sided power density p2(w_k) =
+    E|X_k|^2 / n_fft = |A_k|^2 / n_fft at each of the mirrored lines
+    (Parseval: var = (1/n_fft) sum_j p2(w_j) = (1/n_fft^2)
+    sum_j E|X_full,j|^2).  The analysis convention (hann(win) STFT with
+    E|X_analysis|^2 = p2 * sum w^2, matched to cheaptrick's smoothed
+    power in the round-trip test) requires p2(w_k) = target_k^2 *
+    (win / 2) / sum w^2, so the closed-form scale is
+    ``sqrt(n_fft * win / (2 sum w^2))`` — pure window algebra, no
+    fitted constants (verified against the true-STFT implementation's
+    measured PSD: flat to <0.1 dB).  Overlap-added iid frames are
+    renormalised by sqrt(sum_t w(n - t hop)^2) (a trace-time constant)
+    so the local variance equals a single frame's exactly."""
     T, num_bins = sp_power.shape
     n_fft = 2 * (num_bins - 1)
     N = T * hop
-    noise = jax.random.normal(key, (N,))
-    # Short analysis window (zero-padded to n_fft bins) keeps the noise
-    # energy local in time — a full-length window would smear quiet
-    # frames with energy from loud neighbours through the overlap-add.
-    win = min(n_fft, 4 * hop)
-    spec = stft_ops.stft(noise, n_fft, hop, win_length=win)[:T]
-    # White noise through a hann-windowed STFT: E|X|^2 = ||w||^2 * sigma^2
-    # per bin; normalise to unit expected magnitude, then impose the
-    # target amplitude sqrt(E * win / 2) * ap (the win/2 factor makes
-    # re-analysis with the cheaptrick convention recover E — calibrated
-    # by the round-trip test in tests/unit/test_world.py).
-    wnorm = jnp.sqrt(jnp.sum(stft_ops.hann_window(win) ** 2))
+    # Short hop-multiple window (~4 hops, like the old STFT path's
+    # min(n_fft, 4 hop)) keeps the noise energy local in time — a
+    # frame-length window would smear quiet frames with energy from
+    # loud neighbours.  Hop-multiple => dense overlap-add with
+    # k = win // hop diagonally-shifted layouts (no scatters).  The
+    # scale below is window-length independent for hann (sum w^2 =
+    # (3/8) win cancels), so the choice only affects time resolution.
+    k = max(1, min(4, n_fft // hop))
+    win = k * hop
+    w_np = np.asarray(0.5 - 0.5 * np.cos(
+        2.0 * np.pi * np.arange(win) / win), np.float32)
+    wsum2 = float((w_np ** 2).sum())
+    scale = float(np.sqrt(n_fft * win / (2.0 * wsum2)))
+
+    kr, ki = jax.random.split(key)
     target = jnp.sqrt(jnp.maximum(sp_power, 0.0)) * ap
-    shaped = spec / wnorm * target * jnp.sqrt(win / 2.0)
-    return stft_ops.istft(shaped, n_fft, hop, win_length=win, length=N)
+    z = (jax.random.normal(kr, (T, num_bins))
+         + 1j * jax.random.normal(ki, (T, num_bins)))
+    frames = jnp.fft.irfft(z * (target * (scale / np.sqrt(2.0))),
+                           n=n_fft, axis=-1)[:, :win] * w_np[None, :]
+
+    def overlap_add(x, rows):
+        chunks = x.reshape(rows, k, hop)
+        acc = jnp.zeros((rows + k, hop), x.dtype)
+        for j in range(k):
+            acc = acc.at[j:j + rows].add(chunks[:, j])
+        return acc.reshape(-1)[:rows * hop]
+
+    raw = overlap_add(frames, T)
+    norm = overlap_add(jnp.broadcast_to(w_np[None, :] ** 2,
+                                        (T, win)), T)
+    return raw * jax.lax.rsqrt(jnp.maximum(norm, 1e-12))
 
 
 def world_synthesis(f0, sp_power, ap, fs, frame_shift_ms=5.0, seed=0):

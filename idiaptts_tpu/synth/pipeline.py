@@ -23,15 +23,21 @@ def _vocode_one(coded, lf0, vuv, bap, f0_cont, key, fs, hop, num_bins,
     FusedAcousticPipeline and BatchedWorldSynth)."""
     import jax.numpy as jnp
     from idiaptts_tpu.ops.world.d4c import decode_aperiodicity
-    from idiaptts_tpu.ops.world.synthesis import (_harmonic_part,
+    from idiaptts_tpu.ops.world.synthesis import (_harmonic_part_mcep,
                                                   _noise_part)
-    amp = mcep_ops.mcep_to_amp_sp(coded, num_bins, alpha)
-    sp_power = amp ** 2
     f0 = jnp.where(vuv, jnp.exp(lf0), 0.0)
-    ap = decode_aperiodicity(bap, num_bins, fs)
-    harm = _harmonic_part(f0, f0_cont, sp_power, ap, fs, hop,
-                          max_harmonics)
-    noise = _noise_part(f0, sp_power, ap, fs, hop, key)
+    # Harmonic amplitudes evaluated straight from the coded features
+    # (no 513-bin envelope render / re-cepstrum on this path).
+    harm = _harmonic_part_mcep(f0, f0_cont, coded, bap, fs, hop,
+                               alpha, max_harmonics)
+    # Noise shaping on a coarse grid: the target spectrum (order-20
+    # mcep envelope x band-interpolated ap) has no structure finer than
+    # ~400 Hz, so 129 bins (n_fft 256 vs 1024) lose nothing and cut
+    # the noise path's FFT work 4x.
+    nb_small = min(num_bins, 129)
+    amp_small = mcep_ops.mcep_to_amp_sp(coded, nb_small, alpha)
+    ap_small = decode_aperiodicity(bap, nb_small, fs)
+    noise = _noise_part(f0, amp_small ** 2, ap_small, fs, hop, key)
     return harm + noise
 
 
@@ -52,7 +58,8 @@ class FusedAcousticPipeline:
     def __init__(self, model_apply, variances, num_coded_sps, fs=16000,
                  frame_shift_ms=5.0, num_bap=1, mean=None, scale=None,
                  max_harmonics=112, bucket=256, num_bins=513,
-                 mesh=None, data_axis="data", post_filter=False):
+                 mesh=None, data_axis="data", post_filter=False,
+                 mgc_alpha=None):
         """With ``mesh`` (a 1-D ``jax.sharding.Mesh``), serving scales
         out over chips: the batch shards over ``data_axis`` on its
         leading dim, parameters replicate, and each chip synthesises
@@ -86,7 +93,8 @@ class FusedAcousticPipeline:
                                                            jnp.float32)
         self._scale = None if scale is None else jnp.asarray(
             scale, jnp.float32)
-        alpha = mcep_ops.fs_to_mgc_alpha(fs)
+        alpha = mgc_alpha if mgc_alpha is not None \
+            else mcep_ops.fs_to_mgc_alpha(fs)
         F = D + 1 + NB  # fused MLPG feature dim
 
         # The pipeline as three composable stages; ``run`` fuses them
@@ -237,7 +245,7 @@ class BatchedWorldSynth:
 
     def __init__(self, num_coded_sps, fs=16000, frame_shift_ms=5.0,
                  num_bap=1, post_filter=False, max_harmonics=112,
-                 bucket=256):
+                 bucket=256, mgc_alpha=None):
         import jax
         import jax.numpy as jnp
 
@@ -248,7 +256,8 @@ class BatchedWorldSynth:
         self.bucket = int(bucket)
         D = self.num_coded_sps = int(num_coded_sps)
         NB = self.num_bap = int(num_bap)
-        alpha = mcep_ops.fs_to_mgc_alpha(fs)
+        alpha = mgc_alpha if mgc_alpha is not None \
+            else mcep_ops.fs_to_mgc_alpha(fs)
         num_bins = mcep_ops.fs_to_frame_length(fs) // 2 + 1
 
         def run(feats, f0_cont_b, key):

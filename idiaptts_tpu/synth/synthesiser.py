@@ -47,7 +47,7 @@ class Synthesiser:
         # pyworld per utterance).
         synth = Synthesiser._batched_world_synth(
             num_coded_sps, fs, hparams.get("frame_size_ms", 5),
-            num_bap, post_filter)
+            num_bap, post_filter, hparams.get("mgc_alpha"))
         ids = list(synth_output)
         samples = [np.asarray(synth_output[i], np.float32)[
             :, :num_coded_sps + 2 + num_bap] for i in ids]
@@ -67,14 +67,15 @@ class Synthesiser:
 
     @staticmethod
     def _batched_world_synth(num_coded_sps, fs, frame_size_ms, num_bap,
-                             post_filter):
+                             post_filter, mgc_alpha=None):
         from idiaptts_tpu.synth.pipeline import BatchedWorldSynth
-        key = (num_coded_sps, fs, frame_size_ms, num_bap, post_filter)
+        key = (num_coded_sps, fs, frame_size_ms, num_bap, post_filter,
+               mgc_alpha)
         cache = Synthesiser._world_synth_cache
         if key not in cache:
             cache[key] = BatchedWorldSynth(
                 num_coded_sps, fs, frame_size_ms, num_bap=num_bap,
-                post_filter=post_filter)
+                post_filter=post_filter, mgc_alpha=mgc_alpha)
         return cache[key]
 
     @staticmethod

@@ -200,3 +200,23 @@ def test_48khz_multirate_roundtrip(fixtures_dir):
     assert len(wav2) == len(f0) * int(fs * 0.005)
     rms = np.sqrt((wav2 ** 2).mean())
     assert 0.005 < rms < 1.0
+
+
+def test_mgc_alpha_override_through_labelgen(fixtures_dir, uid):
+    """Merlin-compat extraction through the LabelGen surface: the
+    warping override reaches the fused analysis kernel (the reference
+    fixture convention alpha=0.58; ops-level parity is pinned in
+    test_world.py)."""
+    from idiaptts_tpu.data.world_feat import WorldFeatLabelGen
+    wav_dir = os.path.join(fixtures_dir, "database", "wav")
+    (sp_a, _, _, _), fs = WorldFeatLabelGen.extract_features(
+        wav_dir, uid, num_coded_sps=20, mgc_alpha=0.58)
+    (sp_b, _, _, _), _ = WorldFeatLabelGen.extract_features(
+        wav_dir, uid, num_coded_sps=20)
+    assert sp_a.shape == sp_b.shape
+    # Different warp -> genuinely different coefficients.
+    assert np.abs(sp_a[:, 1:] - sp_b[:, 1:]).mean() > 0.05
+    # Config surface carries the override into gen_data paths.
+    gen = WorldFeatLabelGen(dir_labels=str(wav_dir), add_deltas=False,
+                            num_coded_sps=20, mgc_alpha=0.58)
+    assert gen.mgc_alpha == 0.58
