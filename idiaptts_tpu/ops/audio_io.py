@@ -34,8 +34,11 @@ def pcm_to_float(raw):
 
 
 def float_to_pcm16(raw):
-    raw = np.clip(np.asarray(raw, dtype=np.float64), -1.0, 1.0)
-    return (raw * 32767.0).astype(np.int16)
+    # nan_to_num first: np.clip passes NaN through, and NaN -> int16 is
+    # undefined (reads back as finite garbage, masking upstream bugs).
+    raw = np.nan_to_num(np.asarray(raw, dtype=np.float64),
+                        nan=0.0, posinf=1.0, neginf=-1.0)
+    return (np.clip(raw, -1.0, 1.0) * 32767.0).astype(np.int16)
 
 
 def raw_to_file(file_path, raw, fs, file_format="wav"):

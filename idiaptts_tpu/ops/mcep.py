@@ -134,7 +134,10 @@ def mcep_to_amp_sp(mcep, num_bins, alpha):
     AudioProcessing.mcep_to_amp_sp :248-275)."""
     order = mcep.shape[-1] - 1
     _, A = _bases(num_bins, order, alpha)
-    return jnp.exp(mcep @ A.T)
+    # Clip before exp: real speech log amplitudes stay within ~[-30,
+    # 15]; the ceiling only binds for divergent model outputs, where an
+    # f32 inf would propagate to NaN through the synthesis masks.
+    return jnp.exp(jnp.clip(mcep @ A.T, -60.0, 25.0))
 
 
 @partial(jax.jit, static_argnames=("num_bins", "alpha"))

@@ -93,6 +93,12 @@ def _harmonic_bank(f0, f0_safe, amp, fs, hop):
     """N-domain additive synthesis shared by the field-sampled and
     direct-mcep harmonic paths: per-sample phase accumulation + the
     minimax sin bank.  amp (T, H) per-frame harmonic amplitudes."""
+    # Finite-synthesis guard: an unbounded f0 (e.g. exp of an untrained
+    # model's lf0) overflows the phase cumsum to inf and mod(inf)=nan
+    # poisons the whole waveform.  Above-Nyquist pitch is meaningless
+    # anyway, so clamp — garbage in must give loud garbage out, never
+    # NaN (the reference's WORLD C code is finite the same way).
+    f0_safe = jnp.clip(f0_safe, 0.0, fs / 2.0)
     T, H = amp.shape
     h = jnp.arange(1, H + 1, dtype=jnp.float32)
     # Per-sample upsampling via reshape (no gathers): sample n in frame
@@ -137,8 +143,12 @@ def _harmonic_part(f0, f0_cont, sp_power, ap, fs, hop, max_harmonics):
     x = jnp.clip(harm_freq / fs, 0.0, 0.5)            # cycles/sample
     log_env = 0.5 * jnp.log(jnp.maximum(sp_power, 1e-30))   # log amp
     log_ap = jnp.log(jnp.maximum(ap, 1e-9))
-    env_p = jnp.exp(2.0 * _sample_log_field(log_env, x))
-    ap_h = jnp.exp(_sample_log_field(log_ap, x))
+    # Clip before exp: log amplitudes beyond ~25 (120 dB above unit)
+    # only arise from divergent model outputs and would overflow f32
+    # to inf, which the mask multiplies below turn into NaN.
+    env_p = jnp.exp(2.0 * jnp.clip(_sample_log_field(log_env, x),
+                                   -60.0, 25.0))
+    ap_h = jnp.exp(jnp.clip(_sample_log_field(log_ap, x), -60.0, 0.0))
     periodic_frac = jnp.sqrt(jnp.clip(1.0 - ap_h ** 2, 0.0, 1.0))
     # Calibrated so cheaptrick re-analysis recovers sp_power (flat to
     # ±0.3 dB in the round-trip test).
@@ -204,7 +214,9 @@ def _harmonic_part_mcep(f0, f0_cont, coded, bap, fs, hop, alpha,
     for m in range(2, coded.shape[-1]):
         c_prev, c_cur = c_cur, 2.0 * cos1 * c_cur - c_prev
         log_amp = log_amp + coded[:, m:m + 1] * c_cur
-    env_p = jnp.exp(2.0 * log_amp)
+    # Clip before exp (see _harmonic_part): keeps divergent model
+    # outputs finite instead of inf * mask -> NaN.
+    env_p = jnp.exp(2.0 * jnp.clip(log_amp, -60.0, 25.0))
 
     ap_h = _ap_at_freqs(bap, harm_freq, fs)
     periodic_frac = jnp.sqrt(jnp.clip(1.0 - ap_h ** 2, 0.0, 1.0))

@@ -25,7 +25,10 @@ def _vocode_one(coded, lf0, vuv, bap, f0_cont, key, fs, hop, num_bins,
     from idiaptts_tpu.ops.world.d4c import decode_aperiodicity
     from idiaptts_tpu.ops.world.synthesis import (_harmonic_part_mcep,
                                                   _noise_part)
-    f0 = jnp.where(vuv, jnp.exp(lf0), 0.0)
+    # Cap lf0 before exp: a divergent model prediction otherwise
+    # overflows to inf (above-Nyquist pitch is meaningless anyway).
+    f0 = jnp.where(vuv, jnp.exp(jnp.minimum(lf0, jnp.log(fs / 2.0))),
+                   0.0)
     # Harmonic amplitudes evaluated straight from the coded features
     # (no 513-bin envelope render / re-cepstrum on this path).
     harm = _harmonic_part_mcep(f0, f0_cont, coded, bap, fs, hop,

@@ -128,3 +128,44 @@ def test_fast_sin_accuracy():
     x = np.linspace(0.0, 1.0, 100001)[:-1].astype(np.float64)
     err = np.abs(np.asarray(_sin_cycles(x)) - np.sin(2 * np.pi * x))
     assert err.max() < 1e-5
+
+
+def test_synthesis_finite_for_divergent_model_outputs():
+    """Garbage in -> loud garbage out, never NaN: an untrained model's
+    denormalised predictions (large mcep coefficients, huge lf0) must
+    not overflow exp()/phase accumulation into inf*mask=NaN waveforms
+    (regression: the builtin-front-end TTS test wrote all-NaN wavs
+    through the fused path before the log-envelope/f0 clamps)."""
+    import jax
+    import jax.numpy as jnp
+    from idiaptts_tpu.ops import mcep as mcep_ops
+    from idiaptts_tpu.synth.pipeline import BatchedWorldSynth, _vocode_one
+
+    T, D, NB = 64, 20, 1
+    rng = np.random.RandomState(0)
+    alpha = mcep_ops.fs_to_mgc_alpha(16000)
+    for scale in (1.0, 8.0, 30.0):
+        coded = jnp.asarray(rng.randn(T, D).astype(np.float32) * scale)
+        out = _vocode_one(coded, jnp.full((T,), 60.0),
+                          jnp.ones((T,), bool), jnp.full((T, NB), -0.5),
+                          jnp.full((T,), 150.0), jax.random.PRNGKey(0),
+                          16000, 80, 513, alpha, 112)
+        assert np.all(np.isfinite(np.asarray(out))), scale
+
+    # Same through the serving surface (vmap + padding path).
+    feats = rng.randn(T, D + 2 + NB).astype(np.float32) * 10.0
+    feats[:, D] = 200.0   # lf0 -> exp overflows f32 without the cap
+    feats[:, D + 1] = 1.0
+    synth = BatchedWorldSynth(D, fs=16000, frame_shift_ms=5.0,
+                              num_bap=NB)
+    wav = np.asarray(synth([feats])[0])
+    assert np.all(np.isfinite(wav))
+
+
+def test_float_to_pcm16_nan_safe():
+    """NaN/inf must map to silence/clipping, not undefined int casts
+    that read back as finite garbage."""
+    from idiaptts_tpu.ops.audio_io import float_to_pcm16
+    pcm = float_to_pcm16(np.array([np.nan, np.inf, -np.inf, 0.5, -2.0]))
+    assert pcm.dtype == np.int16
+    assert pcm[0] == 0 and pcm[1] == 32767 and pcm[2] == -32767
