@@ -524,3 +524,100 @@ def test_embedding_groups_in_rnn_dyn():
     # Same params (same seed), different embedding index -> different
     # outputs through the affected (all, -1) groups.
     assert not np.allclose(out0, out1)
+
+
+def test_windowing_wrapper_multi_input_and_extra_outputs():
+    """Reference WindowingWrapper windows EVERY input tensor (:86-97)
+    and merges every output (:229-233): a two-input frame-local model
+    round-trips through windows, and outputs beyond output_names keep
+    their inner names."""
+    import flax.linen as nn
+
+    class TwoIn(nn.Module):
+        @nn.compact
+        def __call__(self, data_dict, lengths=None, training=False):
+            a, b = data_dict["a"], data_dict["b"]
+            return {"pred": a + 2.0 * b, "aux": a - b}
+
+    wrapper = WindowingWrapper(wrapped=TwoIn(), input_names=("a", "b"),
+                               output_names=("y",), window_size=40,
+                               window_step=20)
+    rng = np.random.RandomState(1)
+    a = jnp.asarray(rng.randn(2, 95, 3), jnp.float32)
+    b = jnp.asarray(rng.randn(2, 95, 3), jnp.float32)
+    params = wrapper.init(jax.random.PRNGKey(0), {"a": a, "b": b})
+    out = wrapper.apply(params, {"a": a, "b": b})
+    np.testing.assert_allclose(np.asarray(out["y"]),
+                               np.asarray(a + 2.0 * b), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["aux"]),
+                               np.asarray(a - b), atol=1e-4)
+
+
+def test_windowing_wrapper_reduce_merges_mask_invalid_chunks():
+    """add/mean/mul merges reduce across each sample's VALID chunks
+    only (reference :252-310 valid-chunk loops), under static shapes
+    with ragged lengths."""
+    import flax.linen as nn
+
+    class Sum(nn.Module):
+        @nn.compact
+        def __call__(self, data_dict, lengths=None, training=False):
+            x = data_dict["x"]
+            # Zero padded frames so chunk content reflects lengths.
+            t = jnp.arange(x.shape[1])[None, :, None]
+            mask = t < lengths[:, None, None]
+            return {"pred": jnp.sum(x * mask, axis=1, keepdims=True)}
+
+    W, S = 30, 30
+    rng = np.random.RandomState(2)
+    x = rng.randn(2, 75, 2).astype(np.float32)
+    lengths = np.array([75, 40], np.int32)
+
+    for merge in ("add", "mean", "mul"):
+        wrapper = WindowingWrapper(wrapped=Sum(), input_names=("x",),
+                                   output_names=("y",), window_size=W,
+                                   window_step=S,
+                                   output_merge_type=merge)
+        params = wrapper.init(jax.random.PRNGKey(0),
+                              {"x": jnp.asarray(x)},
+                              lengths=jnp.asarray(lengths))
+        out = np.asarray(wrapper.apply(params, {"x": jnp.asarray(x)},
+                                       lengths=jnp.asarray(lengths))["y"])
+        for bi in range(2):
+            chunks = []
+            for c0 in range(0, 75, S):
+                n = min(lengths[bi] - c0, W)
+                if n <= 0:
+                    break
+                chunks.append(x[bi, c0:c0 + n].sum(0, keepdims=True))
+            stack = np.stack(chunks)
+            if merge == "add":
+                want = stack.sum(0)
+            elif merge == "mean":
+                want = stack.mean(0)
+            else:
+                want = np.prod(stack, axis=0)
+            np.testing.assert_allclose(out[bi], want, rtol=1e-4,
+                                       atol=1e-4)
+
+
+def test_windowing_wrapper_cat_merge():
+    """cat concatenates chunk outputs along time (reference
+    MERGE_TYPE_CAT :215-227), step == window."""
+    import flax.linen as nn
+
+    class Id(nn.Module):
+        @nn.compact
+        def __call__(self, data_dict, lengths=None, training=False):
+            return {"pred": data_dict["x"] * 3.0}
+
+    wrapper = WindowingWrapper(wrapped=Id(), input_names=("x",),
+                               output_names=("y",), window_size=25,
+                               window_step=25, output_merge_type="cat")
+    x = jnp.asarray(np.random.RandomState(3).randn(1, 70, 2),
+                    jnp.float32)
+    params = wrapper.init(jax.random.PRNGKey(0), {"x": x})
+    out = np.asarray(wrapper.apply(params, {"x": x})["y"])
+    assert out.shape == (1, 75, 2)      # 3 chunks x 25, zero padded
+    np.testing.assert_allclose(out[0, :70], np.asarray(x[0]) * 3.0,
+                               atol=1e-4)
