@@ -64,3 +64,49 @@ def test_boundary_silences_and_pauses():
     phones = [p for p, _ in fe.text_to_phones("one. two")]
     assert phones[0] == "sil" and phones[-1] == "sil"
     assert "pau" in phones
+
+
+def test_structured_labels_cqs_semantics():
+    """The enriched label format carries real structure: stress from
+    the lexicon, syllable/word/phrase positions and utterance totals
+    extracted by the committed CQS block (the reference's
+    questions-en-radio_dnn_416 numeric-context dimensions)."""
+    qs = QuestionSet(ASSET_HED)
+    keys = [k.strip('"') for k, _ in qs.raw_continuous]
+    fe = BuiltinFrontEnd()
+    # Two phrases: "hello world. again" -> phrase 1 = 2 words.
+    labels = fe.text_to_full_labels("hello world. again")
+    vecs = np.stack([qs.match(lab) for lab in labels])
+
+    base = len(qs.raw_binary)
+    def cqs(name):
+        return vecs[:, base + keys.index(name)]
+
+    assert cqs("Num-Phrases_in_Utterance").max() == 2
+    assert cqs("Num-Words_in_Utterance").max() == 3
+    # LTS fallback stresses the first syllable of unknown words; CMU
+    # convention: silence rows carry 0.
+    assert set(np.unique(cqs("C-Syl_Stress"))) <= {0.0, 1.0, 2.0}
+    assert cqs("C-Syl_Stress").max() >= 1
+    # Phrase 1 has two words: fw positions reach 2.
+    assert cqs("Pos_C-Word_in_C-Phrase(Fw)").max() == 2
+    # Utterance syllable total is constant on non-silence rows.
+    ns = cqs("Num-Syls_in_Utterance")
+    assert ns.max() == ns[1:-1].max() and ns.max() >= 3
+
+
+def test_syllabify():
+    from idiaptts_tpu.synth.frontend import syllabify
+    # wa-ter: single intervocalic consonant starts the next syllable.
+    syls = syllabify([("w", None), ("ao", 1), ("t", None),
+                      ("er", 0)])
+    assert [s["phones"] for s in syls] == [["w", "ao"], ["t", "er"]]
+    assert [s["stress"] for s in syls] == [1, 0]
+    # win-ter: cluster splits evenly.
+    syls = syllabify([("w", None), ("ih", 1), ("n", None),
+                      ("t", None), ("er", 0)])
+    assert [s["phones"] for s in syls] == [["w", "ih", "n"],
+                                           ["t", "er"]]
+    # no vowel -> one unstressed syllable.
+    assert syllabify([("s", None)]) == [{"phones": ["s"],
+                                         "stress": 0}]

@@ -58,20 +58,50 @@ POSITION_PATTERNS = {
     "LL": "{p}~*", "L": "*~{p}-*", "C": "*-{p}+*",
     "R": "*+{p}=*", "RR": "*={p}:*"}
 
+# CQS for the BuiltinFrontEnd label format (synth/frontend.py
+# text_to_full_labels):
+#   ll~l-c+r=rr:PF_PB/A/vc_cls/B/S!SF-SB@SP/C/WS_WF-WB/D/PW=PF+PB
+#   /E/EB&EA/J/NS~NW+NP-WI
+# Each pattern's delimiter pair is unique within the label, so the
+# first regex match is THE field.  This covers the numeric-context
+# dimensions of the reference's questions-en-radio_dnn_416.hed CQS
+# block (segment position, syllable stress/position/size, word
+# size/position, phrase size/position, stressed-syllable counts,
+# utterance totals) on the framework's label syntax.
 CQS_QUESTIONS = [
     ("Pos_C-Phone_Fw", r":(\d+)_"),
     ("Pos_C-Phone_Bw", r"_(\d+)/A/"),
-    ("Syl_Idx", r"/B/(\d+)-"),
-    ("Word_Len", r"-(\d+)/J/"),
-    ("Num_Phones", r"/J/(\d+)+"),
+    ("C-Syl_Stress", r"/B/(\d+)!"),
+    ("Pos_C-Syl_in_C-Word(Fw)", r"!(\d+)-"),
+    ("Pos_C-Syl_in_C-Word(Bw)", r"-(\d+)@"),
+    ("C-Syl_Num-Phones", r"@(\d+)/C/"),
+    ("C-Word_Num-Syls", r"/C/(\d+)_"),
+    ("Pos_C-Word_in_C-Phrase(Fw)", r"_(\d+)-"),
+    ("Pos_C-Word_in_C-Phrase(Bw)", r"-(\d+)/D/"),
+    ("C-Phrase_Num-Words", r"/D/(\d+)="),
+    ("Pos_C-Phrase_in_Utterance(Fw)", r"=(\d+)+"),
+    ("Pos_C-Phrase_in_Utterance(Bw)", r"+(\d+)/E/"),
+    ("Num-StressedSyl_before_C-Syl_in_C-Phrase", r"/E/(\d+)&"),
+    ("Num-StressedSyl_after_C-Syl_in_C-Phrase", r"&(\d+)/J/"),
+    ("Num-Syls_in_Utterance", r"/J/(\d+)~"),
+    ("Num-Words_in_Utterance", r"~(\d+)+"),
+    ("Num-Phrases_in_Utterance", r"+(\d+)-"),
 ]
 
-# CQS patterns support literals, ``*`` wildcards and ``(\d+)`` groups
-# (wildcards2regex semantics); a pattern without a trailing ``*`` is
-# end-anchored, which pins Word_Idx to the final ``-<idx>`` field.
+# A pattern without a trailing ``*`` is end-anchored by
+# wildcards2regex, which pins Word_Idx to the final ``-<idx>`` field.
 RICH_CQS_QUESTIONS = CQS_QUESTIONS + [
-    ("Num_Vowels", r"*+(\d+)-*"),
     ("Word_Idx", r"*-(\d+)"),
+]
+
+# Binary structural questions (reference ships e.g. stress/accent
+# binaries alongside the continuous block).
+STRUCT_QS = [
+    ("C-Syl_Stressed", ["*/B/1!*", "*/B/2!*"]),
+    ("C-Syl_Primary-Stress", ["*/B/1!*"]),
+    ("C-Syl_Secondary-Stress", ["*/B/2!*"]),
+    ("C-Word_Monosyllabic", ["*/C/1_*"]),
+    ("C-Phrase_Single-Word", ["*/D/1=*"]),
 ]
 
 # Vowel articulatory features over ARPABET (public phonetics): used by
@@ -119,6 +149,9 @@ def build_questions(phones, class_map, rich=False):
             pats = ",".join(pattern.format(p=m)
                             for m in sorted(set(members)))
             lines.append('QS "%s-%s" {%s}' % (pos, cls, pats))
+    if rich:
+        for key, pats in STRUCT_QS:
+            lines.append('QS "%s" {%s}' % (key, ",".join(pats)))
     for key, pattern in (RICH_CQS_QUESTIONS if rich
                          else CQS_QUESTIONS):
         lines.append('CQS "%s" {%s}' % (key, pattern))
