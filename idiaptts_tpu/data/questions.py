@@ -157,6 +157,7 @@ class HTSLabelNormalisation:
         self.frame_feature_size = {"full": 9, "state_only": 1,
                                    "frame_only": 1, "uniform_state": 2,
                                    "minimal_frame": 2, "coarse_coding": 4,
+                                   "minimal_phoneme": 3,
                                    "none": 0}[subphone_feats]
         self.dict_size = self.question_set.dict_size
         self.dimension = self.dict_size + self.frame_feature_size \
@@ -180,6 +181,67 @@ class HTSLabelNormalisation:
                 continue
             blocks.append(self._expand_phone(answers, state_frames,
                                              phone_dur))
+        return np.concatenate(blocks, axis=0).astype(np.float32)
+
+    def load_labels_with_phone_alignment(self, file_name,
+                                         durations=None):
+        """Phone-aligned HTK labels (no state suffix) -> question
+        matrix (label_normalisation.load_labels_with_phone_alignment
+        :424-521 semantics).  Lines are either ``label`` alone or
+        ``start end label``; the frame count comes from the timings
+        (5 ms frames) or, when ``durations`` is given, from that
+        per-phone frame-count sequence.  Valid ``subphone_feats``:
+        ``minimal_phoneme`` (fraction fwd / fraction bwd / duration),
+        ``coarse_coding`` (3 gaussians + duration) and ``none``."""
+        if self.subphone_feats not in ("minimal_phoneme",
+                                       "coarse_coding", "none"):
+            raise ValueError(
+                "subphone_feats '{}' is state-based; phone-aligned "
+                "labels support minimal_phoneme/coarse_coding/none"
+                .format(self.subphone_feats))
+        native = self.question_set.native() if self.use_native else None
+        blocks = []
+        ph_count = 0
+        with open(file_name) as f:
+            for line in f:
+                parts = line.split()
+                if not parts:
+                    continue
+                if len(parts) == 1:
+                    frame_number = 0
+                    full_label = parts[0]
+                else:
+                    start, end, full_label = \
+                        int(parts[0]), int(parts[1]), parts[2]
+                    if durations is not None:
+                        frame_number = int(durations[ph_count])
+                    else:
+                        frame_number = (end - start) // _FRAME_NS
+                ph_count += 1
+                answers = (native.match(full_label)
+                           if native is not None
+                           else self.question_set.match(full_label))
+                if self.add_frame_features:
+                    if frame_number == 0:
+                        continue
+                    block = np.empty((frame_number, self.dimension),
+                                     dtype=np.float32)
+                    block[:, :self.dict_size] = answers[None, :]
+                    f0 = self.dict_size
+                    i1 = np.arange(1, frame_number + 1,
+                                   dtype=np.float32)
+                    if self.subphone_feats == "minimal_phoneme":
+                        block[:, f0 + 0] = i1 / frame_number
+                        block[:, f0 + 1] = (frame_number - i1 + 1) \
+                            / frame_number
+                        block[:, f0 + 2] = frame_number
+                    elif self.subphone_feats == "coarse_coding":
+                        cc = self._coarse_coding(frame_number)
+                        block[:, f0:f0 + 3] = cc
+                        block[:, f0 + 3] = frame_number
+                    blocks.append(block)
+                elif self.subphone_feats == "none":
+                    blocks.append(answers[None, :])
         return np.concatenate(blocks, axis=0).astype(np.float32)
 
     def _expand_phone(self, answers, state_frames, phone_dur):
@@ -252,14 +314,19 @@ class HTSLabelNormalisation:
         return cc
 
     def perform_normalisation(self, file_id_list_name, id_list, dir_in,
-                              dir_out=None, return_dict=False):
+                              dir_out=None, return_dict=False,
+                              label_type="state_align"):
         """Extract question labels for all ids; accumulate min/max norm
         parameters; save raw float32 ``.questions`` files like the
-        reference."""
+        reference.  ``label_type``: "state_align" (default) or
+        "phone_align" for labels without state indices."""
+        loader = (self.load_labels_with_phone_alignment
+                  if label_type == "phone_align"
+                  else self.load_labels_with_state_alignment)
         extractor = MinMaxExtractor()
         label_dict = {}
         for file_id in id_list:
-            labels = self.load_labels_with_state_alignment(
+            labels = loader(
                 os.path.join(dir_in, file_id + ".lab"))
             extractor.add_sample(labels)
             if dir_out is not None:

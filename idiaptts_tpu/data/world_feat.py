@@ -462,6 +462,37 @@ class WorldFeatLabelGen(NpzDataReader, LabelGen):
         return np.asarray(mcep_ops.mcep_to_amp_sp(
             jnp.asarray(coded_sp, jnp.float32), num_bins, alpha))
 
+    @staticmethod
+    def decode_sp(coded_sp, sp_type="mcep", fs=None, alpha=None,
+                  n_fft=None, post_filtering=False):
+        """Coded spectrum -> amplitude spectrum dispatch
+        (AudioProcessing.decode_sp :304-327 role): "mcep"/"mgc" via the
+        warped-cepstral render, "mfbanks" via NNLS mel inversion,
+        "amp_sp" passthrough.  ``post_filtering`` applies the merlin
+        formant post-filter (cepstra only, like the reference)."""
+        if post_filtering:
+            if sp_type in ("mcep", "mgc"):
+                coded_sp = np.asarray(mcep_ops.merlin_post_filter(
+                    jnp.asarray(coded_sp, jnp.float32),
+                    alpha if alpha is not None
+                    else mcep_ops.fs_to_mgc_alpha(fs)))
+            else:
+                logger.warning("Post-filtering only implemented for "
+                               "cepstrum features.")
+        if sp_type in ("mcep", "mgc"):
+            num_bins = None if n_fft is None else n_fft // 2 + 1
+            return WorldFeatLabelGen.mcep_to_amp_sp(
+                coded_sp, fs, alpha=alpha, num_bins=num_bins)
+        if sp_type == "mfbanks":
+            from idiaptts_tpu.ops import stft as stft_ops
+            return np.asarray(stft_ops.mfbanks_to_amp_sp(
+                coded_sp, fs, n_fft=n_fft))
+        if sp_type == "amp_sp":
+            return np.asarray(coded_sp)
+        raise NotImplementedError(
+            "Unknown feature type {}. No decoding method available."
+            .format(sp_type))
+
     # -- offline generation (reference :947-1071) -------------------------
     def gen_data(self, dir_in, dir_out=None, file_id_list="", id_list=None,
                  file_ext="wav", return_dict=False):

@@ -171,6 +171,45 @@ def griffin_lim(amp_spec, n_fft=1024, hop_length=256, win_length=None,
     return istft(spec, n_fft, hop_length, win_length, length)
 
 
+@partial(jax.jit, static_argnames=("n_fft", "fs", "num_iters"))
+def mel_power_to_power_sp(mel_power, fs, n_fft, num_iters=30):
+    """Invert a mel-filterbank power projection: given ``m = W @ p``
+    (W the (n_mels, bins) filterbank, p the power spectrum), recover a
+    non-negative ``p`` (AudioProcessing.mfbanks_to_amp_sp role — the
+    reference calls librosa's NNLS ``mel_to_stft``; same caveat applies:
+    lossy, "use an SSRN instead").
+
+    TPU formulation: multiplicative NNLS updates ``p <- p * (W^T m) /
+    (W^T W p)`` — monotone in the KL objective, all matmuls, batched
+    over frames, static shapes.  Returns (T, n_fft//2+1) power."""
+    n_mels = mel_power.shape[-1]
+    W = jnp.asarray(mel_filterbank(fs, n_fft, n_mels=n_mels))
+    m = jnp.maximum(mel_power, 1e-10)
+    # Least-squares warm start, clipped to positive.
+    p0 = jnp.maximum(m @ jnp.linalg.pinv(W).T, 1e-10)
+
+    def body(_, p):
+        recon = jnp.maximum(p @ W.T, 1e-10)          # (T, n_mels)
+        return p * ((m / recon) @ W) / jnp.maximum(
+            jnp.sum(W, axis=0)[None, :], 1e-10)
+
+    return jax.lax.fori_loop(0, num_iters, body, p0)
+
+
+def mfbanks_to_amp_sp(coded_sp, fs, n_fft=None):
+    """Log-mel-power features -> amplitude spectrum
+    (AudioProcessing.mfbanks_to_amp_sp :291-301 role; input is the
+    ``log(amp_sp**2 @ fbank.T)`` coding of
+    WorldFeatLabelGen.extract_features)."""
+    if n_fft is None:
+        from idiaptts_tpu.ops import mcep as mcep_ops
+        n_fft = mcep_ops.fs_to_frame_length(fs)
+    power = mel_power_to_power_sp(
+        jnp.exp(jnp.asarray(coded_sp, jnp.float32)), int(fs),
+        int(n_fft))
+    return jnp.sqrt(power)
+
+
 def amp_to_db(amp):
     return 20.0 * jnp.log10(jnp.maximum(amp, 1e-10))
 

@@ -42,6 +42,31 @@ class Synthesiser:
         num_coded_sps = hparams.get("num_coded_sps", 60)
         num_bap = hparams.get("num_bap", 1)
         post_filter = bool(hparams.get("do_post_filtering"))
+        sp_type = hparams.get("sp_type", "mcep")
+        if sp_type not in ("mcep", "mgc"):
+            # Non-cepstral codings (mfbanks/amp_sp): decode to the
+            # amplitude spectrum (AudioProcessing.decode_sp dispatch)
+            # and synthesise through the amp-sp WORLD path.
+            suffix = "_e{}".format(epoch) if epoch is not None else ""
+            if use_model_name and hparams.get("model_name"):
+                suffix += "_" + str(hparams.model_name)
+            paths = {}
+            for id_name, feats in synth_output.items():
+                feats = np.asarray(feats, np.float32)
+                coded, lf0, vuv, bap = \
+                    WorldFeatLabelGen.convert_to_world_features(
+                        feats, contains_deltas=False,
+                        num_coded_sps=num_coded_sps, num_bap=num_bap)
+                amp_sp = WorldFeatLabelGen.decode_sp(
+                    coded, sp_type=sp_type, fs=fs,
+                    post_filtering=post_filter)
+                raw = WorldFeatLabelGen.world_features_to_raw(
+                    amp_sp, lf0, vuv, bap, fs,
+                    hparams.get("frame_size_ms", 5))
+                path = Synthesiser._out_path(id_name, hparams, suffix)
+                audio_io.raw_to_file(path, _norm_loudness(raw), fs)
+                paths[id_name] = path
+            return paths
         # One fused jit program per bucket synthesises the WHOLE batch
         # in a single device round trip (the reference loops pysptk /
         # pyworld per utterance).

@@ -77,6 +77,67 @@ def test_subphone_feature_variants(fixtures_dir, uid, question_file,
         assert out.shape[1] == base + extra, feats
 
 
+def test_phone_alignment_loader(fixtures_dir, uid, question_file,
+                                num_questions, tmp_path):
+    """load_labels_with_phone_alignment
+    (label_normalisation.py:424-521): phone-aligned labels (built here
+    by merging the fixture's state timings per phone) produce the same
+    per-frame question columns as the state-aligned loader, with the
+    phone-level subphone feature variants."""
+    lab = os.path.join(fixtures_dir, "labels", "label_state_align",
+                       uid + ".lab")
+    # Merge the 5 state lines of each phone into one phone line.
+    phones = []
+    with open(lab) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 3:
+                continue
+            start, end, label = int(parts[0]), int(parts[1]), parts[2]
+            state = int(label[-2])
+            if state == 2:
+                phones.append([start, end, label[:-3]])
+            else:
+                phones[-1][1] = end
+    phone_lab = tmp_path / (uid + ".lab")
+    phone_lab.write_text("".join(
+        "{} {} {}\n".format(*p) for p in phones))
+
+    base = num_questions - 9
+    for feats, extra in [("minimal_phoneme", 3), ("coarse_coding", 4),
+                         ("none", 0)]:
+        op = HTSLabelNormalisation(question_file, subphone_feats=feats)
+        out = op.load_labels_with_phone_alignment(str(phone_lab))
+        assert out.shape[1] == base + extra, feats
+    # Question columns match the state-aligned expansion frame-by-frame
+    # (state timings already align to 5 ms frames in the fixtures).
+    op_phone = HTSLabelNormalisation(question_file,
+                                     subphone_feats="coarse_coding")
+    op_state = HTSLabelNormalisation(question_file,
+                                     subphone_feats="coarse_coding")
+    out_phone = op_phone.load_labels_with_phone_alignment(
+        str(phone_lab))
+    out_state = op_state.load_labels_with_state_alignment(lab)
+    assert out_phone.shape == out_state.shape
+    np.testing.assert_array_equal(out_phone[:, :base],
+                                  out_state[:, :base])
+    # Phone-duration column agrees with the state loader's.
+    np.testing.assert_array_equal(out_phone[:, base + 3],
+                                  out_state[:, base + 3])
+    # Manual durations override the timings.
+    durs = [3] * len(phones)
+    op_none = HTSLabelNormalisation(question_file,
+                                    subphone_feats="none")
+    out_dur = op_none.load_labels_with_phone_alignment(
+        str(phone_lab), durations=durs)
+    assert len(out_dur) == 3 * len(phones)
+    # State-based subphone feats are rejected for phone alignment.
+    op_full = HTSLabelNormalisation(question_file,
+                                    subphone_feats="full")
+    with pytest.raises(ValueError):
+        op_full.load_labels_with_phone_alignment(str(phone_lab))
+
+
 def test_question_reader_with_minmax_norm(fixtures_dir, uid,
                                           num_questions):
     config = QuestionLabelGen.Config(
