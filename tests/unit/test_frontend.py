@@ -110,3 +110,33 @@ def test_syllabify():
     # no vowel -> one unstressed syllable.
     assert syllabify([("s", None)]) == [{"phones": ["s"],
                                          "stress": 0}]
+
+
+def test_normalise_text_rich_cases():
+    """Abbreviations, currency, percent, ordinals, years and decimals
+    expand to speakable words (the normalisation Festival performed for
+    the reference's front end)."""
+    from idiaptts_tpu.synth.frontend import normalise_text
+
+    assert normalise_text("Dr. Smith lives on St. James")[:2] == [
+        "doctor", "smith"]
+    assert "saint" in normalise_text("St. James")
+    out = normalise_text("It costs $5.50 today")
+    assert "five" in out and "dollars" in out and "fifty" in out \
+        and "cents" in out
+    assert normalise_text("$1")[0:2] == ["one", "dollar"]
+    assert normalise_text("50%") == ["fifty", "percent"]
+    assert normalise_text("the 3rd time") == ["the", "third", "time"]
+    assert normalise_text("the 22nd") == ["the", "twenty", "second"]
+    assert normalise_text("in 1984") == ["in", "nineteen", "eighty",
+                                         "four"]
+    assert normalise_text("by 2025") == ["by", "twenty", "twenty",
+                                         "five"]
+    # Round years read as cardinals.
+    assert normalise_text("in 1900") == ["in", "nineteen", "hundred"]
+    assert normalise_text("pi is 3.14") == ["pi", "is", "three",
+                                            "point", "one", "four"]
+    assert normalise_text("1,234 items")[:4] == ["one", "thousand",
+                                                 "two", "hundred"]
+    # Punctuation still maps to pauses.
+    assert "<pau>" in normalise_text("Hello. World")
