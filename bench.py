@@ -179,6 +179,19 @@ def main():
                    + 2 * ff * 67)                           # FC out
     model_tflops = flops_frame * B * T / t_model / 1e12
 
+    # Serving-capacity view: the headline batch (the 9 fixture
+    # utterances) leaves the MXU skinny (18 rows vs 128-row tiles);
+    # a production server batches more.  Measure the same pipeline at
+    # 8x batch to report capacity xRT (compiles one more program).
+    rep = 8
+    batch_cap = jnp.asarray(np.tile(np.asarray(batch), (rep, 1, 1)))
+    lengths_cap = jnp.asarray(np.tile(np.asarray(lengths), rep))
+    wavs = pipeline(params, batch_cap, lengths_cap, device_output=True)
+    float(jnp.sum(wavs))
+    cap_elapsed = timed(lambda: pipeline(params, batch_cap, lengths_cap,
+                                         device_output=True), runs=3)
+    cap_xrt = float(lengths_cap.sum()) * 0.005 / cap_elapsed
+
     audio_seconds = float(lengths.sum()) * 0.005
     xrt = audio_seconds / elapsed
     print(json.dumps({
@@ -195,6 +208,7 @@ def main():
             "model_tflops_per_s": round(model_tflops, 2),
             "batch": int(B), "bucket_T": int(T), "runs": 5,
             "timing": "median of pipelined groups (depth 8)",
+            "capacity_xrt_batch{}".format(B * rep): round(cap_xrt, 1),
         },
     }))
 
