@@ -8,6 +8,7 @@ discretised-MoL losses, Noam scheduler default.
 """
 
 import logging
+import os
 
 import numpy as np
 
@@ -111,6 +112,26 @@ class WaveNetVocoderTrainer(ModularTrainer):
                            wrapper_cfg, cond)
             synth_output[id_name] = raw
         return Synthesiser.run_raw_synth(synth_output, hparams)
+
+    def save_for_vocoding(self, hparams, filename):
+        """Export a standalone vocoder bundle
+        (WaveNetVocoderTrainer.save_for_vocoding :303-307 role):
+        a full checkpoint (config.json + params) plus the conditioning
+        reader's normalisation parameters, so the vocoder can be loaded
+        for synthesis without reconstructing the training pipeline."""
+        directory = os.path.dirname(filename) or "."
+        model_name = os.path.basename(filename)
+        self.model_handler.save_checkpoint(
+            directory, model_name=model_name, last=True,
+            networks_dir=hparams.get("networks_dir", "nn"))
+        reader = self.datareaders.get("cond_features")
+        norm = getattr(reader, "norm_params", None)
+        if norm is not None:
+            np.save(filename + "_norm_params",
+                    np.concatenate([np.asarray(p).reshape(1, -1)
+                                    if np.ndim(p) == 1 else np.asarray(p)
+                                    for p in norm], axis=0))
+        return filename
 
     def compute_score(self, hparams, results):
         """Teacher-forced accuracy of the mu-law class prediction."""

@@ -198,6 +198,18 @@ def test_wavenet_trainer(fixtures_dir, id_list, tmp_path):
     _, train_losses = trainer.train(hparams)
     assert min(train_losses) <= train_losses[0]
 
+    # save_for_vocoding exports a standalone checkpoint + conditioning
+    # norm params (WaveNetVocoderTrainer.py:303-307 role).
+    bundle = str(tmp_path / "voc" / "wavenet_voc")
+    trainer.save_for_vocoding(hparams, bundle)
+    assert os.path.isfile(os.path.join(
+        str(tmp_path / "voc"), "wavenet_voc", "nn", "config.json"))
+    import numpy as np
+    reader = trainer.datareaders["cond_features"]
+    if getattr(reader, "norm_params", None) is not None:
+        norm = np.load(bundle + "_norm_params.npy")
+        assert norm.ndim == 2 and norm.shape[1] > 0
+
 
 def test_multidevice_data_parallel_training():
     """Data-parallel + tensor-parallel training over an 8-device mesh:
