@@ -98,3 +98,51 @@ def test_server_propagates_batch_failure(pipeline_and_params):
     with pytest.raises(ValueError):
         fut.result(timeout=30)
     server.shutdown()
+
+
+def test_server_over_sharded_pipeline():
+    """SynthesisServer with a mesh-ed pipeline: batches whose padded
+    size divides the 8-device data mesh shard over it transparently
+    (FusedAcousticPipeline handles placement), and every caller still
+    gets its own correct-length waveform."""
+    import jax
+    import jax.numpy as jnp
+
+    from idiaptts_tpu.models.rnn_dyn import convert_legacy_string
+    from idiaptts_tpu.parallel.mesh import make_data_mesh
+    from idiaptts_tpu.synth.pipeline import FusedAcousticPipeline
+    from idiaptts_tpu.synth.server import SynthesisServer
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU platform")
+
+    num_q, D = 30, 4
+    cfg = convert_legacy_string("RNNDYN-1_RELU_16-1_FC_19", num_q)
+    cfg.input_names = ("questions",)
+    cfg.output_names = ("pred",)
+    model = cfg.create_model()
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        {"questions": jnp.ones((1, 8, num_q))},
+                        lengths=jnp.array([8]), training=False)
+
+    def apply_fn(p, q, lengths):
+        return model.apply(p, {"questions": q}, lengths=lengths,
+                           training=False)["pred"]
+
+    variances = {"sp": np.ones(12, np.float32),
+                 "lf0": np.ones(3, np.float32),
+                 "bap": np.ones(3, np.float32)}
+    pipeline = FusedAcousticPipeline(apply_fn, variances,
+                                     num_coded_sps=D, fs=16000,
+                                     bucket=64, mesh=make_data_mesh(8))
+    server = SynthesisServer(pipeline, params, max_batch=8,
+                             max_wait_ms=50.0)
+    rng = np.random.RandomState(2)
+    # 6 requests pad to 8 = the mesh size -> sharded dispatch.
+    futs = [server.submit(rng.randn(40, num_q).astype(np.float32))
+            for _ in range(6)]
+    for f in futs:
+        wav = f.result(timeout=120)
+        assert wav.shape == (40 * pipeline.hop,)
+        assert np.isfinite(wav).all()
+    server.shutdown()
