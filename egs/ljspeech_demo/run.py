@@ -11,6 +11,8 @@ Stages (Kaldi-style ``--stage N`` resume):
   5  benchmark the acoustic model (MCD / F0-RMSE / VDE / BAP)
   6  synthesise test utterances from labels (full TTS:
      duration -> acoustic -> WORLD vocoder)
+  7  online serving demo: concurrent requests through
+     trainer.serve()'s batching SynthesisServer
 
 Usage:
   python egs/ljspeech_demo/run.py --work_dir /tmp/ljdemo [--stage 1]
@@ -199,6 +201,41 @@ def stage6_synth(args, ids):
     return paths
 
 
+def stage7_serve(args, ids):
+    """Online serving: trainer.serve() wraps the trained model's fused
+    pipeline in a request-batching SynthesisServer; submit all test
+    utterances concurrently and report occupancy / realtime factor."""
+    import numpy as np
+
+    trainer, hparams = _acoustic_trainer(args, ids)
+    if args.small_models:
+        from idiaptts_tpu.models.rnn_dyn import convert_legacy_string
+        cfg = convert_legacy_string(
+            "RNNDYN-1_RELU_128-1_BiLSTM_64-1_FC_67",
+            _num_questions(args))
+        cfg.input_names = ("questions",)
+        cfg.output_names = ("pred_acoustic_features",)
+        trainer.init(hparams, model_config=cfg)
+    else:
+        trainer.init(hparams)
+    server = trainer.serve(hparams, max_batch=8, max_wait_ms=20.0)
+    _, _, load_inputs = trainer.build_serving(hparams)
+    futures = [(i, server.submit(load_inputs(i))) for i in ids]
+    out_dir = os.path.join(args.work_dir, "served")
+    os.makedirs(out_dir, exist_ok=True)
+    from idiaptts_tpu.ops.audio_io import raw_to_file
+    for id_name, fut in futures:
+        wav = fut.result(timeout=600)
+        raw_to_file(os.path.join(out_dir, id_name + ".wav"), wav,
+                    hparams.get("synth_fs", 16000))
+    stats = server.stats()
+    logger.info("served %d requests in %d batches (occupancy %.1f, "
+                "%.0fx realtime)", stats["requests"], stats["batches"],
+                stats["mean_batch_occupancy"], stats["x_realtime"])
+    server.shutdown()
+    return stats
+
+
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--work_dir", required=True)
@@ -209,7 +246,7 @@ def main():
             "tests", "fixtures")
     parser.add_argument("--fixtures", default=default_fixtures)
     parser.add_argument("--stage", type=int, default=1)
-    parser.add_argument("--stop_stage", type=int, default=6)
+    parser.add_argument("--stop_stage", type=int, default=7)
     parser.add_argument("--epochs", type=int, default=8)
     parser.add_argument("--small_models", action="store_true",
                         help="small architectures for CPU smoke runs")
@@ -222,7 +259,8 @@ def main():
 
     recipe_common.run_stages(
         {1: stage1_world, 2: stage2_labels, 3: stage3_duration,
-         4: stage4_acoustic, 5: stage5_benchmark, 6: stage6_synth},
+         4: stage4_acoustic, 5: stage5_benchmark, 6: stage6_synth,
+         7: stage7_serve},
         args, ids)
 
 

@@ -173,16 +173,16 @@ class AcousticModelTrainer(ModularTrainer):
                                "using the per-stage path.", e)
         return super().synth(hparams, id_list)
 
-    def _synth_fused(self, hparams, id_list):
-        """label->wav through :class:`FusedAcousticPipeline`: model
-        forward, denormalisation, MLPG, mcep decode and WORLD synthesis
-        compiled as ONE jit program per length bucket — the whole batch
-        costs a single device round trip (vs the reference's chain of
-        per-utterance stages, ModularTrainer.py:644-676 ->
-        Synthesiser.py:38-80)."""
-        from idiaptts_tpu.ops.audio_io import raw_to_file
+    def build_serving(self, hparams):
+        """The serving assets of the trained model: ``(pipeline,
+        params, load_inputs)`` where ``pipeline`` is the
+        :class:`FusedAcousticPipeline` (model forward, denorm, MLPG,
+        mcep decode, WORLD synthesis as one jit program per bucket),
+        ``params`` the inference parameters (EMA shadow when enabled)
+        and ``load_inputs(id_name)`` the question-matrix loader
+        (multi-input models ride as trailing columns).  Used by
+        ``synth`` and by :meth:`serve`."""
         from idiaptts_tpu.synth.pipeline import FusedAcousticPipeline
-        from idiaptts_tpu.synth.synthesiser import _norm_loudness
 
         handler = self.model_handler
         reader_q = self.datareaders["questions"]
@@ -217,14 +217,16 @@ class AcousticModelTrainer(ModularTrainer):
                 cols.append(feat)
             return np.concatenate(cols, axis=1)
 
-        first = load_inputs(id_list[0])
         widths = None
         if extra_names:
-            nq = np.asarray(reader_q[id_list[0]]["questions"]).shape[1]
+            # Probe per-input column widths on any known utterance.
+            probe_id = (self.id_list_train or self.id_list_val
+                        or self.id_list_test)[0]
+            nq = np.asarray(reader_q[probe_id]["questions"]).shape[1]
             widths = [nq]
             for name in extra_names:
                 feat = np.atleast_2d(np.asarray(
-                    self.datareaders[name][id_list[0]][name]))
+                    self.datareaders[name][probe_id][name]))
                 widths.append(feat.shape[1])
             widths = tuple(widths)
         pipe_key = (hparams.get("num_coded_sps", 60),
@@ -282,8 +284,31 @@ class AcousticModelTrainer(ModularTrainer):
             cache[pipe_key] = pipeline
         params = handler.ema.shadow if handler.ema is not None \
             else handler.params
-        questions = [first if i == id_list[0] else load_inputs(i)
-                     for i in id_list]
+        return pipeline, params, load_inputs
+
+    def serve(self, hparams, max_batch=32, max_wait_ms=5.0):
+        """Online serving front door: a
+        :class:`~idiaptts_tpu.synth.server.SynthesisServer` bound to
+        the trained model's fused pipeline.  ``server.submit(load(id))``
+        / ``server.submit(question_matrix)`` return futures resolving
+        to waveforms; concurrent requests batch per length bucket."""
+        from idiaptts_tpu.synth.server import SynthesisServer
+        pipeline, params, _ = self.build_serving(hparams)
+        return SynthesisServer(pipeline, params, max_batch=max_batch,
+                               max_wait_ms=max_wait_ms)
+
+    def _synth_fused(self, hparams, id_list):
+        """label->wav through :class:`FusedAcousticPipeline`: model
+        forward, denormalisation, MLPG, mcep decode and WORLD synthesis
+        compiled as ONE jit program per length bucket — the whole batch
+        costs a single device round trip (vs the reference's chain of
+        per-utterance stages, ModularTrainer.py:644-676 ->
+        Synthesiser.py:38-80)."""
+        from idiaptts_tpu.ops.audio_io import raw_to_file
+        from idiaptts_tpu.synth.synthesiser import _norm_loudness
+
+        pipeline, params, load_inputs = self.build_serving(hparams)
+        questions = [load_inputs(i) for i in id_list]
         wavs = pipeline(params, questions)
         fs = hparams.get("synth_fs", 16000)
         suffix = "_e{}".format(self.total_epoch) \

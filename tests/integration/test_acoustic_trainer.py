@@ -120,3 +120,30 @@ def test_fused_synth_matches_modular_path(trainer_and_hparams, tmp_path):
         b, fs_b = get_raw(classic[id_name])
         assert fs_a == fs_b
         assert len(a) == len(b)
+
+
+def test_serve_front_door(trainer_and_hparams):
+    """trainer.serve(): the batching SynthesisServer over the trained
+    model's fused pipeline resolves concurrent requests to waveforms
+    and reports occupancy (AcousticModelTrainer.serve role; serving is
+    new beyond the reference)."""
+    import numpy as np
+
+    trainer, hparams = trainer_and_hparams
+    server = trainer.serve(hparams, max_batch=4, max_wait_ms=50.0)
+    try:
+        _, _, load_inputs = trainer.build_serving(hparams)
+        ids = (trainer.id_list_train + trainer.id_list_val
+               + trainer.id_list_test)[:3]
+        futs = [(i, server.submit(load_inputs(i))) for i in ids]
+        hop = int(hparams.get("synth_fs", 16000)
+                  * hparams.get("frame_size_ms", 5) / 1000)
+        for id_name, fut in futs:
+            wav = fut.result(timeout=300)
+            assert len(wav) == len(load_inputs(id_name)) * hop
+            assert np.isfinite(wav).all()
+        stats = server.stats()
+        assert stats["requests"] == len(ids)
+        assert stats["x_realtime"] > 0
+    finally:
+        server.shutdown()
