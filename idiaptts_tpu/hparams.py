@@ -121,13 +121,22 @@ class ExtendedHParams:
             opt_args["lr"] = self.get("learning_rate")
         if self.get("load_from_checkpoint"):
             for old, new in (("checkpoint_epoch", "epoch_to_load"),
-                             ("checkpoint_step", "step_to_load")):
+                             ("checkpoint_step", "step_to_load"),
+                             ("load_checkpoint_epoch", "epoch_to_load"),
+                             ("load_checkpoint_step", "step_to_load")):
                 if self.has_value(old):
                     _logging.warning(
                         "hparams.%s is deprecated; use %s.", old, new)
                     self.setattr_no_type_check(new, self.get(old))
                     self.del_hparam(old)
                     break
+        if self.has_value("epochs_per_checkpoint"):
+            _logging.warning("hparams.epochs_per_checkpoint is the "
+                             "reference spelling; mapped to "
+                             "checkpoint_epoch_interval.")
+            self.set_hparam("checkpoint_epoch_interval",
+                            self.get("epochs_per_checkpoint"))
+            self.del_hparam("epochs_per_checkpoint")
 
     def values(self):
         return dict(self._values)
@@ -340,6 +349,12 @@ class ExtendedHParams:
             checkpoint_epoch_interval=1,
             use_saved_mean_std=True,
             profiler_dir=None,
+            # -- loss routing / shuffling (reference parity) --------------
+            backprop_loss_names=None,   # subset of losses to optimise
+            scheduler_loss_names=None,  # subset driving Plateau metric
+            shuffle_train_set=True,
+            shuffle_val_set=False,
+            synth_file_suffix="",
         )
         if hparams_string:
             hparams.parse(hparams_string)

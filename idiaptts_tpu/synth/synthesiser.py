@@ -30,6 +30,7 @@ class Synthesiser:
             hparams.get("out_dir") or ".", "synth")
         os.makedirs(out_dir, exist_ok=True)
         ext = hparams.get("synth_ext", "wav")
+        suffix += hparams.get("synth_file_suffix") or ""
         return os.path.join(out_dir, "{}{}.{}".format(id_name, suffix,
                                                       ext))
 

@@ -293,10 +293,16 @@ class ModularModelHandler(ModelHandler):
             flat_out[key] = value
         total = 0.0
         loss_values = {}
+        backprop = getattr(self, "backprop_loss_names", None)
         for loss in self.losses:
             value = loss(flat_out, step)
             loss_values[loss.name] = value
-            total = total + value
+            # backprop_loss_names (get_summed_losses_subset role,
+            # ModularModelHandlerPyTorch.py:915-925): losses outside
+            # the subset are computed and logged but excluded from the
+            # optimised total (monitor-only).
+            if backprop is None or loss.name in backprop:
+                total = total + value
         return total, (loss_values, out,
                        updates.get("batch_stats") if updates else None)
 

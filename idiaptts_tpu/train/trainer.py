@@ -125,6 +125,9 @@ class ModularTrainer:
         self.model_handler.set_optimiser(hparams)
         self.model_handler.set_scheduler(hparams)
         self.model_handler.set_losses(self.loss_configs)
+        names = hparams.get("backprop_loss_names")
+        self.model_handler.backprop_loss_names = \
+            tuple(names) if names else None
         self.model_handler.set_ema(hparams)
         self.model_handler.checkpoint_backend = hparams.get(
             "checkpoint_backend") or "msgpack"
@@ -322,7 +325,10 @@ class ModularTrainer:
             epoch_seed = (hparams.get("seed") or 0) + self.total_epoch
             train_loss, per_loss = self.model_handler.process_batches(
                 self._batches(self.dataset_train, self.id_list_train,
-                              batch_size, shuffle=True, seed=epoch_seed),
+                              batch_size,
+                              shuffle=hparams.get("shuffle_train_set",
+                                                  True),
+                              seed=epoch_seed),
                 training=True, current_epoch=self.total_epoch)
             all_loss_train.append(train_loss)
             self.record_train_loss(per_loss, self.total_epoch)
@@ -363,7 +369,13 @@ class ModularTrainer:
                             self.total_epoch, val_loss)
                 self._log_scalar("loss/val", val_loss, self.total_epoch)
                 if self.model_handler.scheduler is not None:
-                    self.model_handler.scheduler.on_metric(val_loss)
+                    # scheduler_loss_names (run_scheduler :927-951
+                    # role): the plateau metric can track a subset of
+                    # the named losses instead of the summed total.
+                    sched_names = hparams.get("scheduler_loss_names")
+                    metric = sum(val_per_loss[n] for n in sched_names) \
+                        if sched_names else val_loss
+                    self.model_handler.scheduler.on_metric(metric)
                 if val_loss < self.best_loss and not math.isnan(val_loss):
                     self.best_loss = val_loss
                     self._save(hparams, best=True)

@@ -171,3 +171,49 @@ def test_reference_surface_helpers(prepared_dirs, id_list,
     p2 = trainer.plot_specshow(np.random.rand(50, 20),
                                str(tmp_path / "spec.pdf"))
     assert os.path.isfile(p1) and os.path.isfile(p2)
+
+
+def test_backprop_loss_subset(prepared_dirs, id_list, num_questions,
+                              tmp_path):
+    """backprop_loss_names (get_summed_losses_subset role,
+    ModularModelHandlerPyTorch.py:915-925): a monitor-only loss is
+    computed and logged every epoch but excluded from the optimised
+    total, and scheduler_loss_names selects the Plateau metric."""
+    from idiaptts_tpu.models.losses import NamedLoss
+
+    dir_questions, dir_dur = prepared_dirs
+    hparams = DurationModelTrainer.create_hparams()
+    hparams.num_questions = num_questions
+    hparams.out_dir = str(tmp_path / "exp")
+    hparams.model_name = "dur_subset"
+    hparams.epochs = 2
+    hparams.batch_size_train = 4
+    hparams.learning_rate = 0.002
+    hparams.seed = 1
+    hparams.use_best_as_final_model = False
+    hparams.test_set_perc = 0.0
+    hparams.val_set_perc = 0.34
+    hparams.backprop_loss_names = ["mse"]
+    hparams.scheduler_loss_names = ["mse"]
+    hparams.scheduler_type = "Plateau"
+
+    trainer = DurationModelTrainer(hparams, list(id_list),
+                                   dir_phoneme_labels=dir_questions,
+                                   dir_durations=dir_dur)
+    loss_configs = [
+        NamedLoss.Config("mse", "MSELoss",
+                         ("pred_durations", "durations"),
+                         seq_mask="_seq_mask", reduction="mean"),
+        NamedLoss.Config("monitor_l1", "L1Loss",
+                         ("pred_durations", "durations"),
+                         seq_mask="_seq_mask", reduction="mean"),
+    ]
+    trainer.init(hparams, loss_configs=loss_configs)
+    assert trainer.model_handler.backprop_loss_names == ("mse",)
+    all_loss, train_losses = trainer.train(hparams)
+    # Both losses are recorded each epoch...
+    train_hist, val_hist = trainer.get_losses()
+    assert "monitor_l1" in train_hist and len(train_hist["monitor_l1"])
+    # ...and training still progresses on the optimised subset.
+    assert np.isfinite(train_losses).all()
+    assert min(train_losses) <= train_losses[0]
