@@ -124,6 +124,20 @@ class TTSModel:
         return lines
 
     @staticmethod
+    def serve(hparams, max_batch=16, max_wait_ms=10.0):
+        """Online text->speech serving: a
+        :class:`TextToSpeechServer` whose ``submit(text)`` returns a
+        future resolving to a waveform.  Per request the host runs
+        front end -> duration model -> question expansion; the acoustic
+        model + vocoder run through the request-batching
+        :class:`~idiaptts_tpu.synth.server.SynthesisServer`, so
+        concurrent texts share device dispatches.  Requires the same
+        hparams as :meth:`run_DM_AM` (initialised ``duration_trainer``
+        / ``acoustic_trainer``, ``question_file``)."""
+        return TextToSpeechServer(hparams, max_batch=max_batch,
+                                  max_wait_ms=max_wait_ms)
+
+    @staticmethod
     def run_DM_AM(hparams, input_strings=None, label_dir=None,
                   id_list=None):
         """Full pipeline: (text | labels) -> durations -> questions ->
@@ -195,3 +209,86 @@ class TTSModel:
         acoustic_trainer.datareaders["questions"].directory = \
             [am_question_dir]
         return acoustic_trainer.synth(hparams, id_list)
+
+
+class TextToSpeechServer:
+    """Online text->speech serving (TTSModel.serve).
+
+    Per request the host runs the run_DM_AM front half (front end ->
+    phone questions -> duration model -> state-aligned labels -> frame
+    questions -> normalisation); the waveform half goes through the
+    acoustic trainer's request-batching
+    :class:`~idiaptts_tpu.synth.server.SynthesisServer`, so concurrent
+    texts share fused device dispatches.  Single-input acoustic models
+    (questions only); the duration forward is serialised by a lock
+    (its reader directory is redirected per request)."""
+
+    def __init__(self, hparams, max_batch=16, max_wait_ms=10.0):
+        import tempfile
+        import threading
+
+        self.hparams = hparams
+        self.duration_trainer = hparams.duration_trainer
+        self.acoustic_trainer = hparams.acoustic_trainer
+        self.question_file = hparams.question_file
+        self.server = self.acoustic_trainer.serve(
+            hparams, max_batch=max_batch, max_wait_ms=max_wait_ms)
+        self.reader_q = self.acoustic_trainer.datareaders["questions"]
+        self._phone_operator = HTSLabelNormalisation(
+            self.question_file, add_frame_features=False,
+            subphone_feats="none")
+        self._frame_operator = HTSLabelNormalisation(self.question_file)
+        self.work_root = tempfile.mkdtemp(prefix="tts_serve_")
+        self._dur_lock = threading.Lock()
+        self._counter = 0
+
+    def submit(self, text):
+        """One utterance text -> Future[(num_frames * hop,) float32]."""
+        with self._dur_lock:
+            self._counter += 1
+            id_name = "req{:05d}".format(self._counter)
+        work = os.path.join(self.work_root, id_name)
+        label_dir = os.path.join(work, "labels")
+        utt_ids = TTSModel.run_front_end(self.hparams, [text],
+                                         label_dir)
+        with open(os.path.join(label_dir, utt_ids[0] + ".lab")) as f:
+            lines = [l for l in f if l.strip()]
+        full_labels = TTSModel.strip_timings(lines)
+
+        # Phone-level questions -> duration model (serialised: the
+        # duration reader's directory is redirected per request).
+        dur_q_dir = os.path.join(work, "dur_questions")
+        os.makedirs(dur_q_dir, exist_ok=True)
+        questions = np.stack([
+            self._phone_operator.question_set.match(lab)
+            for lab in full_labels])
+        questions.astype(np.float32).tofile(
+            os.path.join(dur_q_dir, id_name + ".questions"))
+        with self._dur_lock:
+            self.duration_trainer.datareaders["questions"].directory \
+                = [dur_q_dir]
+            durations = self.duration_trainer.forward(
+                self.hparams, [id_name])[id_name]
+        durations = np.maximum(durations, 1)
+
+        # Durations -> state-aligned labels -> frame-level questions,
+        # normalised like the acoustic reader's training inputs.
+        aligned = TTSModel.write_durations_into_labels(full_labels,
+                                                       durations)
+        aligned_path = os.path.join(work, id_name + ".lab")
+        with open(aligned_path, "w") as f:
+            f.write("\n".join(aligned) + "\n")
+        frame_q = self._frame_operator.load_labels_with_state_alignment(
+            aligned_path)
+        frame_q = self.reader_q.preprocess_sample(frame_q)
+        return self.server.submit(np.asarray(frame_q, np.float32))
+
+    def synth(self, text):
+        """Blocking convenience wrapper."""
+        return self.submit(text).result()
+
+    def stats(self):
+        return self.server.stats()
+
+    def shutdown(self, wait=True):
+        self.server.shutdown(wait=wait)

@@ -94,6 +94,20 @@ def test_run_dm_am(fixtures_dir, id_list, question_file,
         raw, fs = get_raw(path)
         assert len(raw) > fs / 2
 
+    # Online serving: concurrent text requests through TTSModel.serve
+    # (front end + duration on the host, acoustic + vocoder batched by
+    # the SynthesisServer).
+    server = TTSModel.serve(tts_hparams, max_batch=4, max_wait_ms=50.0)
+    try:
+        futs = [server.submit("hello world this is online serving"),
+                server.submit("another request at the same time")]
+        for fut in futs:
+            wav = fut.result(timeout=300)
+            assert len(wav) > 0 and np.isfinite(wav).all()
+        assert server.stats()["requests"] == 2
+    finally:
+        server.shutdown()
+
 
 def test_front_end_builtin_fallback(tmp_path):
     """Without front_end_cmd the builtin text front end produces
