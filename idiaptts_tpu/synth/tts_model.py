@@ -138,14 +138,87 @@ class TTSModel:
                                   max_wait_ms=max_wait_ms)
 
     @staticmethod
+    def load_trainers(hparams):
+        """Build checkpoint-loaded duration and acoustic trainers from
+        paths (the reference's run_DM_AM interface, TTSModel.py:115-131
+        and :148-163): ``duration_model`` / ``acoustic_model`` point at
+        checkpoint directories (``<out_dir>/<model_name>``),
+        ``duration_labels_dir`` holds the duration-side question norm
+        stats, ``duration_norm_file_name`` the duration output norm
+        stats, ``question_labels_norm_file`` the acoustic question norm
+        stats and ``world_features_dir`` the cmp norm/covariance stats.
+        Returns ``(duration_trainer, acoustic_trainer)``."""
+        from idiaptts_tpu.data.phonemes import PhonemeDurationLabelGen
+        from idiaptts_tpu.data.questions import QuestionLabelGen
+        from idiaptts_tpu.data.world_feat import WorldFeatLabelGen
+        from idiaptts_tpu.train.acoustic import AcousticModelTrainer
+        from idiaptts_tpu.train.duration import DurationModelTrainer
+
+        def _split(path):
+            path = os.path.normpath(path)
+            return os.path.dirname(path), os.path.basename(path)
+
+        assert hparams.get("duration_model") is not None, \
+            "hparams.duration_model checkpoint path is needed."
+        assert hparams.get("acoustic_model") is not None, \
+            "hparams.acoustic_model checkpoint path is needed."
+
+        dur_hp = DurationModelTrainer.create_hparams()
+        dur_out, dur_name = _split(hparams.duration_model)
+        dur_hp.setattr_no_type_check("out_dir", dur_out)
+        dur_hp.setattr_no_type_check("model_name", dur_name)
+        dur_hp.setattr_no_type_check("load_from_checkpoint", True)
+        dur_hp.setattr_no_type_check("epochs", 0)
+        dur_hp.setattr_no_type_check("start_with_test", False)
+        dur_labels_dir = hparams.get("duration_labels_dir")
+        dur_trainer = DurationModelTrainer(
+            dur_hp, [], dir_phoneme_labels=dur_labels_dir)
+        # Phone-level questions carry dict_size columns (no subphone
+        # features) — derived from the question file.
+        from idiaptts_tpu.data.questions import QuestionSet
+        dict_size = QuestionSet(hparams.question_file).dict_size
+        q_cfg = QuestionLabelGen.Config(
+            name="questions", directory=dur_labels_dir,
+            num_questions=dict_size)
+        from idiaptts_tpu.data.reader import NpzDataReader
+        dur_norm = hparams.get("duration_norm_file_name")
+        d_kwargs = {"norm_params_path": dur_norm}
+        if not dur_norm:
+            d_kwargs["norm_type"] = NpzDataReader.Config.NormType.NONE
+        d_cfg = PhonemeDurationLabelGen.Config(
+            name="durations", directory=None, **d_kwargs)
+        dur_trainer.init(dur_hp, data_reader_configs=[q_cfg, d_cfg])
+
+        am_hp = AcousticModelTrainer.create_hparams()
+        am_out, am_name = _split(hparams.acoustic_model)
+        am_hp.setattr_no_type_check("out_dir", am_out)
+        am_hp.setattr_no_type_check("model_name", am_name)
+        am_hp.setattr_no_type_check("load_from_checkpoint", True)
+        am_hp.setattr_no_type_check("epochs", 0)
+        am_hp.setattr_no_type_check("start_with_test", False)
+        for key in ("num_questions", "num_coded_sps", "sp_type",
+                    "synth_fs", "num_bap", "add_deltas"):
+            if hparams.has_value(key):
+                am_hp.setattr_no_type_check(key, hparams.get(key))
+        am_trainer = AcousticModelTrainer(
+            am_hp, [],
+            dir_question_labels=hparams.get(
+                "question_labels_norm_file"),
+            dir_world_features=hparams.get("world_features_dir"))
+        am_trainer.init(am_hp)
+        return dur_trainer, am_trainer
+
+    @staticmethod
     def run_DM_AM(hparams, input_strings=None, label_dir=None,
                   id_list=None):
         """Full pipeline: (text | labels) -> durations -> questions ->
         acoustic model -> wav files (TTSModel.run_DM_AM :59-165).
 
-        Requires in hparams: ``duration_trainer`` and
-        ``acoustic_trainer`` (initialised task trainers),
-        ``question_file``, ``synth_dir``.
+        Requires in hparams: ``question_file``, ``synth_dir`` and
+        either ``duration_trainer`` + ``acoustic_trainer`` (initialised
+        task trainers) or the reference's checkpoint-path interface
+        (``duration_model`` / ``acoustic_model`` + norm-stat dirs, see
+        :meth:`load_trainers`).
         """
         work_dir = hparams.get("synth_dir") or os.path.join(
             hparams.get("out_dir") or ".", "tts")
@@ -160,8 +233,11 @@ class TTSModel:
                        for p in sorted(os.listdir(label_dir))
                        if p.endswith(".lab")]
 
-        duration_trainer = hparams.duration_trainer
-        acoustic_trainer = hparams.acoustic_trainer
+        duration_trainer = hparams.get("duration_trainer")
+        acoustic_trainer = hparams.get("acoustic_trainer")
+        if duration_trainer is None or acoustic_trainer is None:
+            duration_trainer, acoustic_trainer = \
+                TTSModel.load_trainers(hparams)
         question_file = hparams.question_file
 
         # 1. Phone-level questions for the duration model.
@@ -228,8 +304,11 @@ class TextToSpeechServer:
         import threading
 
         self.hparams = hparams
-        self.duration_trainer = hparams.duration_trainer
-        self.acoustic_trainer = hparams.acoustic_trainer
+        self.duration_trainer = hparams.get("duration_trainer")
+        self.acoustic_trainer = hparams.get("acoustic_trainer")
+        if self.duration_trainer is None or self.acoustic_trainer is None:
+            self.duration_trainer, self.acoustic_trainer = \
+                TTSModel.load_trainers(hparams)
         self.question_file = hparams.question_file
         self.server = self.acoustic_trainer.serve(
             hparams, max_batch=max_batch, max_wait_ms=max_wait_ms)

@@ -108,6 +108,32 @@ def test_run_dm_am(fixtures_dir, id_list, question_file,
     finally:
         server.shutdown()
 
+    # Reference checkpoint-path interface (TTSModel.py:115-163):
+    # trainers rebuilt purely from checkpoint directories + norm-stat
+    # dirs, no trainer objects passed in.
+    path_hparams = TTSModel.create_hparams()
+    path_hparams.question_file = q_file
+    path_hparams.num_questions = num_questions
+    path_hparams.setattr_no_type_check("num_coded_sps", 20)
+    path_hparams.setattr_no_type_check(
+        "duration_model", os.path.join(str(tmp_path / "exp"), "dm"))
+    path_hparams.setattr_no_type_check(
+        "acoustic_model", os.path.join(str(tmp_path / "exp"), "am"))
+    path_hparams.setattr_no_type_check("duration_labels_dir",
+                                       dur_q_dir)
+    path_hparams.setattr_no_type_check(
+        "question_labels_norm_file",
+        os.path.join(fixtures_dir, "questions"))
+    path_hparams.setattr_no_type_check(
+        "world_features_dir", os.path.join(fixtures_dir, "WORLD"))
+    path_hparams.synth_dir = str(tmp_path / "tts_out_paths")
+    paths2 = TTSModel.run_DM_AM(path_hparams, label_dir=label_dir,
+                                id_list=id_list[:1])
+    assert len(paths2) == 1
+    for path in paths2.values():
+        raw, fs = get_raw(path)
+        assert len(raw) > fs / 2 and np.isfinite(raw).all()
+
 
 def test_front_end_builtin_fallback(tmp_path):
     """Without front_end_cmd the builtin text front end produces
