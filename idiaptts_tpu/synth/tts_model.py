@@ -52,10 +52,7 @@ class TTSModel:
             duration_model=None,
             question_labels_norm_file=None,
             world_features_dir=None,
-            acoustic_model=None,
-            synth_load_org_lf0=False,
-            synth_load_org_vuv=False,
-            synth_load_org_bap=False)
+            acoustic_model=None)
         if verbose:
             logger.info(hparams.get_debug_string())
         return hparams

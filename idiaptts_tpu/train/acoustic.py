@@ -49,6 +49,13 @@ class AcousticModelTrainer(ModularTrainer):
             # One fused jit program for model+MLPG+vocoder in synth
             # (measured 111x vs 3.2x realtime on the fixture corpus).
             use_fused_synth=True,
+            # Per-stream ground-truth overrides at synthesis time
+            # (AcousticModelTrainer.synthesize :457-520): replace the
+            # predicted stream with the extracted one from world_dir.
+            synth_load_org_sp=False,
+            synth_load_org_lf0=False,
+            synth_load_org_vuv=False,
+            synth_load_org_bap=False,
         )
         hparams.setattr_no_type_check("add_deltas", True)
         return hparams
@@ -141,15 +148,43 @@ class AcousticModelTrainer(ModularTrainer):
 
     # -- synthesis --------------------------------------------------------
     def gen_waveform(self, hparams, results, use_org_features=False):
+        num_coded_sps = hparams.get("num_coded_sps", 60)
+        num_bap = hparams.get("num_bap", 1)
+        load_streams = [s for s in ("sp", "lf0", "vuv", "bap")
+                        if hparams.get("synth_load_org_" + s)]
         synth_output = {}
         for id_name, sample in results.items():
             if use_org_features:
                 feats = WorldFeatLabelGen.load_sample(
                     id_name, self.dir_world_features, add_deltas=False,
-                    num_coded_sps=hparams.get("num_coded_sps", 60),
+                    num_coded_sps=num_coded_sps,
                     sp_type=hparams.get("sp_type", "mcep"))
             else:
                 feats = np.asarray(sample["pred_acoustic_features"])
+                if load_streams:
+                    # Per-stream ground-truth override
+                    # (AcousticModelTrainer.synthesize :457-520): swap
+                    # selected predicted streams for the extracted
+                    # ones — the standard stream-ablation diagnostic.
+                    feats = np.array(feats, copy=True)
+                    org = WorldFeatLabelGen.load_sample(
+                        id_name, self.dir_world_features,
+                        add_deltas=False, num_coded_sps=num_coded_sps,
+                        sp_type=hparams.get("sp_type", "mcep"))
+                    n = min(len(org), len(feats))
+                    if "sp" in load_streams:
+                        feats[:n, :num_coded_sps] = \
+                            org[:n, :num_coded_sps]
+                    if "lf0" in load_streams:
+                        feats[:n, num_coded_sps] = org[:n, num_coded_sps]
+                    if "vuv" in load_streams:
+                        feats[:n, num_coded_sps + 1] = \
+                            org[:n, num_coded_sps + 1]
+                    if "bap" in load_streams:
+                        feats[:n, num_coded_sps + 2:
+                              num_coded_sps + 2 + num_bap] = \
+                            org[:n, num_coded_sps + 2:
+                                num_coded_sps + 2 + num_bap]
             synth_output[id_name] = feats
         vocoder = hparams.get("synth_vocoder", "WORLD")
         if vocoder == "WORLD":
@@ -169,7 +204,9 @@ class AcousticModelTrainer(ModularTrainer):
                                      {i: {} for i in id_list},
                                      use_org_features=True)
         if hparams.get("use_fused_synth", True) \
-                and hparams.get("synth_vocoder", "WORLD") == "WORLD":
+                and hparams.get("synth_vocoder", "WORLD") == "WORLD" \
+                and not any(hparams.get("synth_load_org_" + s)
+                            for s in ("sp", "lf0", "vuv", "bap")):
             try:
                 return self._synth_fused(hparams, id_list)
             except Exception as e:  # fall back to the modular path

@@ -147,3 +147,35 @@ def test_serve_front_door(trainer_and_hparams):
         assert stats["x_realtime"] > 0
     finally:
         server.shutdown()
+
+
+def test_synth_load_org_streams(trainer_and_hparams, tmp_path):
+    """Per-stream ground-truth override at synthesis
+    (AcousticModelTrainer.synthesize :457-520): with
+    synth_load_org_lf0/vuv set the synthesised waveform differs from
+    the all-predicted one (the org streams replace the predictions),
+    and the file still decodes cleanly."""
+    import numpy as np
+    from idiaptts_tpu.ops.audio_io import get_raw
+
+    trainer, hparams = trainer_and_hparams
+    ids = trainer.id_list_train[:1]
+
+    hparams.synth_dir = str(tmp_path / "plain")
+    paths_plain = trainer.synth(hparams, ids)
+    raw_plain, _ = get_raw(paths_plain[ids[0]])
+
+    hparams.synth_dir = str(tmp_path / "org_streams")
+    hparams.synth_load_org_sp = True
+    hparams.synth_load_org_lf0 = True
+    hparams.synth_load_org_vuv = True
+    try:
+        paths_org = trainer.synth(hparams, ids)
+    finally:
+        hparams.synth_load_org_sp = False
+        hparams.synth_load_org_lf0 = False
+        hparams.synth_load_org_vuv = False
+    raw_org, fs = get_raw(paths_org[ids[0]])
+    assert np.isfinite(raw_org).all() and len(raw_org) > fs / 4
+    n = min(len(raw_plain), len(raw_org))
+    assert not np.allclose(raw_plain[:n], raw_org[:n])
