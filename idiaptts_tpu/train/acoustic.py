@@ -56,6 +56,7 @@ class AcousticModelTrainer(ModularTrainer):
             synth_load_org_lf0=False,
             synth_load_org_vuv=False,
             synth_load_org_bap=False,
+            synth_feature_names=None,
         )
         hparams.setattr_no_type_check("add_deltas", True)
         return hparams
@@ -152,6 +153,13 @@ class AcousticModelTrainer(ModularTrainer):
         num_bap = hparams.get("num_bap", 1)
         load_streams = [s for s in ("sp", "lf0", "vuv", "bap")
                         if hparams.get("synth_load_org_" + s)]
+        # synth_feature_names (AcousticModelTrainer.synthesize
+        # :461-479): pick which named outputs feed the vocoder; several
+        # names concatenate along features (multi-head models).
+        feature_names = hparams.get("synth_feature_names") \
+            or ("pred_acoustic_features",)
+        if not isinstance(feature_names, (list, tuple)):
+            feature_names = (feature_names,)
         synth_output = {}
         for id_name, sample in results.items():
             if use_org_features:
@@ -160,7 +168,11 @@ class AcousticModelTrainer(ModularTrainer):
                     num_coded_sps=num_coded_sps,
                     sp_type=hparams.get("sp_type", "mcep"))
             else:
-                feats = np.asarray(sample["pred_acoustic_features"])
+                feats = np.concatenate(
+                    [np.atleast_2d(np.asarray(sample[n]))
+                     for n in feature_names], axis=1) \
+                    if len(feature_names) > 1 \
+                    else np.asarray(sample[feature_names[0]])
                 if load_streams:
                     # Per-stream ground-truth override
                     # (AcousticModelTrainer.synthesize :457-520): swap
