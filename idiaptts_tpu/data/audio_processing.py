@@ -151,7 +151,18 @@ class AudioProcessing:
     @staticmethod
     def decode_sp(coded_sp, sp_type="mcep", fs=None, alpha=None,
                   mgc_gamma=None, n_fft=None, post_filtering=False):
-        """Coded-spectrum decode dispatch (AudioProcessing.py:304-327)."""
+        """Coded-spectrum decode dispatch (AudioProcessing.py:304-327).
+
+        The "mfbanks" branch inverts THIS facade's linear
+        amplitude-mel coding (:meth:`extract_mfbanks`), not the
+        log-power coding WorldFeatLabelGen uses internally."""
+        if sp_type == "mfbanks":
+            if post_filtering:
+                import logging
+                logging.warning("Post-filtering only implemented for "
+                                "cepstrum features.")
+            return AudioProcessing.mfbanks_to_amp_sp(coded_sp, fs,
+                                                     n_fft=n_fft)
         from idiaptts_tpu.data.world_feat import WorldFeatLabelGen
         return WorldFeatLabelGen.decode_sp(
             coded_sp, sp_type=sp_type, fs=fs, alpha=alpha, n_fft=n_fft,

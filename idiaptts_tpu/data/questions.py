@@ -208,8 +208,11 @@ class HTSLabelNormalisation:
                 if not parts:
                     continue
                 if len(parts) == 1:
-                    frame_number = 0
                     full_label = parts[0]
+                    # Label-only lines carry no timing; an explicit
+                    # durations sequence still applies (synthesis use).
+                    frame_number = int(durations[ph_count]) \
+                        if durations is not None else 0
                 else:
                     start, end, full_label = \
                         int(parts[0]), int(parts[1]), parts[2]

@@ -84,6 +84,16 @@ class SynthesisServer:
         self._queue.put(None)
         if wait:
             self._thread.join(timeout=30)
+            # A submit() racing with shutdown can land on the queue
+            # after the dispatcher exited; reject it here so its
+            # Future resolves instead of blocking forever.
+            self._drain_rejected()
+
+    def _drain_rejected(self):
+        while not self._queue.empty():
+            item = self._queue.get()
+            if item is not None:
+                item[1].set_exception(RuntimeError("server shut down"))
 
     def stats(self):
         """Serving counters: batches, requests, mean occupancy, audio
@@ -172,7 +182,4 @@ class SynthesisServer:
                 for future, wav in zip(futures, wavs[:n]):
                     future.set_result(wav)
         # Drain: reject anything still queued after shutdown.
-        while not self._queue.empty():
-            item = self._queue.get()
-            if item is not None:
-                item[1].set_exception(RuntimeError("server shut down"))
+        self._drain_rejected()

@@ -105,6 +105,27 @@ class TTSModel:
         return out
 
     @staticmethod
+    def phone_question_matrix(operator, full_labels):
+        """Phone-level question vectors for the duration model (shared
+        by run_DM_AM and the serving path)."""
+        return np.stack([operator.question_set.match(lab)
+                         for lab in full_labels]).astype(np.float32)
+
+    @staticmethod
+    def write_alignment(dir_out, id_name, full_labels, durations):
+        """Clamp predicted durations to >=1 frame, write the
+        state-aligned label file and return its path (shared by
+        run_DM_AM and the serving path)."""
+        os.makedirs(dir_out, exist_ok=True)
+        durations = np.maximum(durations, 1)
+        lines = TTSModel.write_durations_into_labels(full_labels,
+                                                     durations)
+        path = os.path.join(dir_out, id_name + ".lab")
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        return path
+
+    @staticmethod
     def write_durations_into_labels(full_labels, durations):
         """Create state-aligned label lines from per-phone 5-state
         durations (TTSModel.py:134-147 role)."""
@@ -249,9 +270,8 @@ class TTSModel:
                 lines = [l for l in f if l.strip()]
             full_labels = TTSModel.strip_timings(lines)
             phone_labels[id_name] = full_labels
-            questions = np.stack([operator.question_set.match(lab)
-                                  for lab in full_labels])
-            questions.astype(np.float32).tofile(
+            TTSModel.phone_question_matrix(
+                operator, full_labels).tofile(
                 os.path.join(dur_question_dir,
                              id_name + ".questions"))
 
@@ -262,14 +282,10 @@ class TTSModel:
 
         # 3. Write predicted durations into state-aligned labels.
         aligned_dir = os.path.join(work_dir, "label_state_align")
-        os.makedirs(aligned_dir, exist_ok=True)
         for id_name in id_list:
-            dur = np.maximum(durations[id_name], 1)
-            lines = TTSModel.write_durations_into_labels(
-                phone_labels[id_name], dur)
-            with open(os.path.join(aligned_dir, id_name + ".lab"),
-                      "w") as f:
-                f.write("\n".join(lines) + "\n")
+            TTSModel.write_alignment(aligned_dir, id_name,
+                                     phone_labels[id_name],
+                                     durations[id_name])
 
         # 4. Frame-level questions from the new alignment.
         from idiaptts_tpu.data.questions import QuestionLabelGen
@@ -335,25 +351,19 @@ class TextToSpeechServer:
         # duration reader's directory is redirected per request).
         dur_q_dir = os.path.join(work, "dur_questions")
         os.makedirs(dur_q_dir, exist_ok=True)
-        questions = np.stack([
-            self._phone_operator.question_set.match(lab)
-            for lab in full_labels])
-        questions.astype(np.float32).tofile(
+        TTSModel.phone_question_matrix(
+            self._phone_operator, full_labels).tofile(
             os.path.join(dur_q_dir, id_name + ".questions"))
         with self._dur_lock:
             self.duration_trainer.datareaders["questions"].directory \
                 = [dur_q_dir]
             durations = self.duration_trainer.forward(
                 self.hparams, [id_name])[id_name]
-        durations = np.maximum(durations, 1)
 
         # Durations -> state-aligned labels -> frame-level questions,
         # normalised like the acoustic reader's training inputs.
-        aligned = TTSModel.write_durations_into_labels(full_labels,
-                                                       durations)
-        aligned_path = os.path.join(work, id_name + ".lab")
-        with open(aligned_path, "w") as f:
-            f.write("\n".join(aligned) + "\n")
+        aligned_path = TTSModel.write_alignment(work, id_name,
+                                                full_labels, durations)
         frame_q = self._frame_operator.load_labels_with_state_alignment(
             aligned_path)
         frame_q = self.reader_q.preprocess_sample(frame_q)

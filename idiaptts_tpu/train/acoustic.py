@@ -102,10 +102,10 @@ class AcousticModelTrainer(ModularTrainer):
         self._setup_datareaders(hparams)
         self._setup_datasets(hparams)
         if model_config is None \
-                and not (hparams.get("load_from_checkpoint")
-                         or hparams.get("load_newest_checkpoint")):
-            # Checkpoint loads rebuild the model from its saved
-            # config.json; no example batch needed.
+                and not hparams.get("load_from_checkpoint"):
+            # Strict checkpoint loads rebuild the model from its saved
+            # config.json; no example batch needed.  load_newest still
+            # probes so the no-checkpoint-yet case trains fresh.
             example = self._example_batch(hparams)
             dim_in = example["questions"].shape[-1]
             dim_out = example["acoustic_features"].shape[-1]
@@ -215,10 +215,13 @@ class AcousticModelTrainer(ModularTrainer):
             return self.gen_waveform(hparams,
                                      {i: {} for i in id_list},
                                      use_org_features=True)
+        feature_names = hparams.get("synth_feature_names")
         if hparams.get("use_fused_synth", True) \
                 and hparams.get("synth_vocoder", "WORLD") == "WORLD" \
                 and not any(hparams.get("synth_load_org_" + s)
-                            for s in ("sp", "lf0", "vuv", "bap")):
+                            for s in ("sp", "lf0", "vuv", "bap")) \
+                and (not feature_names or tuple(np.atleast_1d(
+                    feature_names)) == ("pred_acoustic_features",)):
             try:
                 return self._synth_fused(hparams, id_list)
             except Exception as e:  # fall back to the modular path
@@ -273,8 +276,15 @@ class AcousticModelTrainer(ModularTrainer):
         widths = None
         if extra_names:
             # Probe per-input column widths on any known utterance.
-            probe_id = (self.id_list_train or self.id_list_val
-                        or self.id_list_test)[0]
+            known = ((self.id_list_train or []) +
+                     (self.id_list_val or []) +
+                     (self.id_list_test or []))
+            if not known:
+                raise ValueError(
+                    "serving a multi-input model needs at least one "
+                    "known utterance id to probe input widths; "
+                    "construct the trainer with a non-empty id_list")
+            probe_id = known[0]
             nq = np.asarray(reader_q[probe_id]["questions"]).shape[1]
             widths = [nq]
             for name in extra_names:

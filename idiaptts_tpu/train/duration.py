@@ -67,10 +67,10 @@ class DurationModelTrainer(ModularTrainer):
         self._setup_datareaders(hparams)
         self._setup_datasets(hparams)
         if model_config is None \
-                and not (hparams.get("load_from_checkpoint")
-                         or hparams.get("load_newest_checkpoint")):
-            # Checkpoint loads rebuild the model from its saved
-            # config.json; no example batch needed.
+                and not hparams.get("load_from_checkpoint"):
+            # Strict checkpoint loads rebuild the model from its saved
+            # config.json; no example batch needed.  load_newest still
+            # probes so the no-checkpoint-yet case trains fresh.
             example = self._example_batch(hparams)
             dim_in = example["questions"].shape[-1]
             dim_out = example["durations"].shape[-1]

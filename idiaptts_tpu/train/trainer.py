@@ -360,7 +360,10 @@ class ModularTrainer:
                         self._batches(
                             self.dataset_val or self.dataset_train,
                             self.id_list_val or self.id_list_train,
-                            hparams.get("batch_size_val", batch_size)),
+                            hparams.get("batch_size_val", batch_size),
+                            shuffle=hparams.get("shuffle_val_set",
+                                                False),
+                            seed=epoch_seed),
                         training=False)
                 all_loss.append(val_loss)
                 self.record_validation_loss(val_per_loss,

@@ -217,3 +217,30 @@ def test_backprop_loss_subset(prepared_dirs, id_list, num_questions,
     # ...and training still progresses on the optimised subset.
     assert np.isfinite(train_losses).all()
     assert min(train_losses) <= train_losses[0]
+
+
+def test_load_newest_without_checkpoint_trains_fresh(
+        prepared_dirs, id_list, num_questions, tmp_path):
+    """load_newest_checkpoint with NO checkpoint on disk falls back to
+    building the default model and training fresh (resumable-recipe
+    first-run semantics; regression for the init probe guard)."""
+    dir_questions, dir_dur = prepared_dirs
+    hparams = DurationModelTrainer.create_hparams()
+    hparams.num_questions = num_questions
+    hparams.out_dir = str(tmp_path / "exp")
+    hparams.model_name = "dur_fresh"
+    hparams.epochs = 1
+    hparams.batch_size_train = 4
+    hparams.learning_rate = 0.002
+    hparams.seed = 1
+    hparams.use_best_as_final_model = False
+    hparams.test_set_perc = 0.0
+    hparams.val_set_perc = 0.34
+    hparams.load_newest_checkpoint = True
+
+    trainer = DurationModelTrainer(hparams, list(id_list),
+                                   dir_phoneme_labels=dir_questions,
+                                   dir_durations=dir_dur)
+    trainer.init(hparams)   # must not raise "model_config required"
+    _, train_losses = trainer.train(hparams)
+    assert len(train_losses) == 1 and np.isfinite(train_losses).all()

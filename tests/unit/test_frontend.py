@@ -130,6 +130,9 @@ def test_normalise_text_rich_cases():
     assert normalise_text("the 22nd") == ["the", "twenty", "second"]
     assert normalise_text("in 1984") == ["in", "nineteen", "eighty",
                                          "four"]
+    assert normalise_text("in 1901") == ["in", "nineteen", "oh", "one"]
+    # The plain word "no" at sentence end stays "no".
+    assert normalise_text("She said no.")[:3] == ["she", "said", "no"]
     assert normalise_text("by 2025") == ["by", "twenty", "twenty",
                                          "five"]
     # Round years read as cardinals.

@@ -131,6 +131,15 @@ def test_phone_alignment_loader(fixtures_dir, uid, question_file,
     out_dur = op_none.load_labels_with_phone_alignment(
         str(phone_lab), durations=durs)
     assert len(out_dur) == 3 * len(phones)
+    # Label-only lines (no timings) + explicit durations — the
+    # synthesis use case — expand per the durations sequence.
+    bare_lab = phone_lab.parent / ("bare_" + phone_lab.name)
+    bare_lab.write_text("".join(p[2] + "\n" for p in phones))
+    op_cc = HTSLabelNormalisation(question_file,
+                                  subphone_feats="coarse_coding")
+    out_bare = op_cc.load_labels_with_phone_alignment(
+        str(bare_lab), durations=durs)
+    assert len(out_bare) == 3 * len(phones)
     # State-based subphone feats are rejected for phone alignment.
     op_full = HTSLabelNormalisation(question_file,
                                     subphone_feats="full")
