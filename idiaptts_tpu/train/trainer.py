@@ -441,8 +441,12 @@ class ModularTrainer:
         def collect(cfg):
             if cfg is None:
                 return
-            for name in (cfg.input_names or ()):
-                names.add(name)
+            # Side inputs (e.g. AllPassWarpLayer's alpha_input_names)
+            # are model inputs too — forward(input_only=True) must keep
+            # their readers.
+            for attr in ("input_names", "alpha_input_names"):
+                for name in (getattr(cfg, attr, None) or ()):
+                    names.add(name)
             for attr in ("module_configs",):
                 for sub in getattr(cfg, attr, []) or []:
                     collect(sub)

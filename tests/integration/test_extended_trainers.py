@@ -492,3 +492,121 @@ def test_classification_trainer_end_to_end(fixtures_dir, id_list,
     assert confusion.shape == (2, 2)
     assert confusion.sum() > 0
     assert 0.0 <= accuracy <= 1.0
+
+
+def test_vtln_learns_speaker_dependent_warp(fixtures_dir, tmp_path):
+    """Speaker adaptation end-to-end on a genuinely two-speaker corpus:
+    speaker B is synthesised with 1.25x formants (shorter vocal tract),
+    exactly the difference the all-pass warp models.  After training
+    with a speaker-embedding-driven AllPassWarpLayer, the learned
+    per-speaker alphas separate (VTLNSpeakerAdaptionModelTrainer's
+    purpose, SSW10; the reference never tests this — its VTLN test is
+    single-speaker)."""
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "..", "tools"))
+    import create_fixtures as cf
+
+    from idiaptts_tpu.data.category import CategoryDataReader
+    from idiaptts_tpu.data.normalisation import MeanCovarianceExtractor
+    from idiaptts_tpu.data.questions import QuestionLabelGen
+    from idiaptts_tpu.data.world_feat import WorldFeatLabelGen
+    from idiaptts_tpu.models.rnn_dyn import convert_legacy_string
+    from idiaptts_tpu.ops import mcep as mcep_ops
+    from idiaptts_tpu.ops.interpolation import add_deltas
+    from idiaptts_tpu.train.vtln_trainer import \
+        VTLNSpeakerAdaptionModelTrainer
+
+    fs, num_sps = 16000, 20
+    alpha = mcep_ops.fs_to_mgc_alpha(fs)
+    world_dir = str(tmp_path / "WORLD")
+    corpus_root = str(tmp_path)   # write_labels adds labels/... itself
+
+    gen = WorldFeatLabelGen.Config(
+        name="cmp_features", directory=world_dir, add_deltas=True,
+        num_coded_sps=num_sps).create_reader()
+    norm_sp = MeanCovarianceExtractor()
+    norm_lf0 = MeanCovarianceExtractor()
+    norm_bap = MeanCovarianceExtractor()
+
+    speakers = {"A": (1.0, 1.0), "B": (1.25, 1.35)}
+    ids, speaker_of = [], {}
+    rng = np.random.default_rng(7)
+    import jax.numpy as jnp
+    for spk, (fsc, f0sc) in speakers.items():
+        for k in range(3):
+            uid = "{}-{:02d}".format(spk, k)
+            plan = cf.plan_utterance(rng, 3)
+            amp_sp, lf0, vuv, bap, _ = cf.make_tracks(
+                rng, plan, fs, formant_scale=fsc, f0_scale=f0sc)
+            coded = np.asarray(mcep_ops.amp_sp_to_mcep(
+                jnp.asarray(amp_sp), num_sps - 1, alpha))
+            sp_full = add_deltas(coded)
+            lf0_full = add_deltas(lf0[:, None])
+            bap_full = add_deltas(bap[:, None]
+                                  if bap.ndim == 1 else bap)
+            norm_sp.add_sample(sp_full)
+            norm_lf0.add_sample(lf0_full)
+            norm_bap.add_sample(bap_full)
+            gen.save_output(uid, world_dir, sp_full, lf0_full,
+                            vuv[:, None] if vuv.ndim == 1 else vuv,
+                            bap_full)
+            cf.write_labels(plan, uid, corpus_root)
+            ids.append(uid)
+            speaker_of[uid] = spk
+    gen._save_norm_params(world_dir, None, norm_sp, norm_lf0,
+                          norm_bap)
+
+    q_dir = str(tmp_path / "questions")
+    q_file = os.path.join(fixtures_dir, "questions-gen_dnn.hed")
+    QuestionLabelGen.gen_data(
+        os.path.join(corpus_root, "labels", "label_state_align"),
+        q_file,
+        dir_out=q_dir, id_list=ids)
+    from idiaptts_tpu.data.questions import QuestionSet
+    num_q = QuestionSet(q_file).dict_size + 9
+
+    hparams = VTLNSpeakerAdaptionModelTrainer.create_hparams()
+    hparams.num_questions = num_q
+    hparams.num_coded_sps = num_sps
+    hparams.out_dir = str(tmp_path / "exp")
+    hparams.model_name = "vtln_spk"
+    hparams.epochs = 8
+    hparams.batch_size_train = 3
+    hparams.learning_rate = 0.001
+    hparams.seed = 1
+    hparams.test_set_perc = 0.0
+    hparams.val_set_perc = 0.34
+    hparams.use_best_as_final_model = False
+    hparams.warp_matrix_size = num_sps
+
+    trainer = VTLNSpeakerAdaptionModelTrainer(
+        hparams, list(ids), dir_question_labels=q_dir,
+        dir_world_features=world_dir)
+    pre_net = convert_legacy_string("RNNDYN-1_RELU_64-1_FC_67", num_q)
+    pre_net.input_names = ("questions",)
+    pre_net.output_names = ("pre_net_output",)
+    data_configs = trainer.default_data_reader_configs(hparams)
+    data_configs.append(CategoryDataReader.Config(
+        name="speaker_embedding",
+        get_category_fn=lambda id_name:
+            [1.0 if id_name.startswith("B") else 0.0]))
+    model_config = trainer.build_model_config(hparams, pre_net,
+                                              num_sps)
+    trainer.init(hparams, model_config=model_config,
+                 data_reader_configs=data_configs)
+    _, train_losses = trainer.train(hparams)
+    assert train_losses[-1] < train_losses[0]
+
+    results = trainer.forward(hparams, ids)
+    mean_alpha = {"A": [], "B": []}
+    for uid, sample in results.items():
+        mean_alpha[speaker_of[uid]].append(
+            float(np.mean(sample["alphas"])))
+    sep = abs(np.mean(mean_alpha["A"]) - np.mean(mean_alpha["B"]))
+    # The two speakers' learned warps must separate (the pre-net alone
+    # cannot explain the systematic formant scaling).
+    assert sep > 1e-3, (mean_alpha, sep)

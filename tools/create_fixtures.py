@@ -133,8 +133,13 @@ def _smooth(x, win):
     kernel /= kernel.sum()
     return np.convolve(x, kernel, mode="same")
 
-def make_tracks(rng, plan, fs):
-    """Plan -> (amp_sp (T,bins), lf0, vuv, bap, f0_true)."""
+def make_tracks(rng, plan, fs, formant_scale=1.0, f0_scale=1.0):
+    """Plan -> (amp_sp (T,bins), lf0, vuv, bap, f0_true).
+
+    ``formant_scale``/``f0_scale`` shift the synthetic voice (vocal
+    tract length and pitch) — e.g. 1.18/1.4 approximates a shorter
+    vocal tract, which is what the VTLN warp models.  Used to generate
+    multi-speaker corpora for speaker-adaptation tests."""
     from idiaptts_tpu.ops import mcep as mcep_ops
 
     n_fft = mcep_ops.fs_to_frame_length(fs)
@@ -149,7 +154,7 @@ def make_tracks(rng, plan, fs):
 
     # --- F0 contour: declination + accents on vowels --------------------
     t = np.arange(total) / FPS
-    f0 = 215.0 - 55.0 * t / max(t[-1], 1e-6)
+    f0 = (215.0 - 55.0 * t / max(t[-1], 1e-6)) * f0_scale
     for (ph, _), s, e in zip(plan, starts, ends):
         if PHONES[ph][0] == "vowel" and rng.random() < 0.6:
             centre, width = (s + e) / 2.0, max(e - s, 4)
@@ -165,7 +170,7 @@ def make_tracks(rng, plan, fs):
     for (ph, _), s, e in zip(plan, starts, ends):
         cls, formants, is_voiced = PHONES[ph]
         voiced[s:e] = is_voiced
-        formant_targets[s:e] = formants
+        formant_targets[s:e] = np.asarray(formants) * formant_scale
         bw_targets[s:e] = (90, 120, 160) if cls == "vowel" \
             else (150, 220, 280)
         if cls == "silence":
