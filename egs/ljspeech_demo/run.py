@@ -103,6 +103,8 @@ def _dur_trainer(args, ids):
     hparams.seed = 1
     hparams.test_set_perc = 0.0
     hparams.val_set_perc = 0.25
+    # Stage resume: reuse the trained duration model in later stages.
+    hparams.load_newest_checkpoint = True
     trainer = DurationModelTrainer(
         hparams, ids, dir_phoneme_labels=dir_q_phone,
         dir_durations=os.path.join(args.work_dir, "dur"))
@@ -131,6 +133,10 @@ def _acoustic_trainer(args, ids):
     hparams.test_set_perc = 0.0
     hparams.val_set_perc = 0.25
     hparams.synth_fs = 16000
+    # Kaldi-style stage resume: later stages (benchmark/synth/serve)
+    # must score the TRAINED model, not a fresh one; with no checkpoint
+    # on disk yet, stage 4 still trains from scratch.
+    hparams.load_newest_checkpoint = True
     trainer = AcousticModelTrainer(
         hparams, ids,
         dir_question_labels=os.path.join(args.work_dir, "questions"),
