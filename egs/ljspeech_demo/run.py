@@ -103,7 +103,8 @@ def _dur_trainer(args, ids):
     hparams.seed = 1
     hparams.test_set_perc = 0.0
     hparams.val_set_perc = 0.25
-    # Stage resume: reuse the trained duration model in later stages.
+    # Stage-3 reruns resume training on the existing checkpoint
+    # (logged by stage3_duration); no later stage loads this model.
     hparams.load_newest_checkpoint = True
     trainer = DurationModelTrainer(
         hparams, ids, dir_phoneme_labels=dir_q_phone,
@@ -113,12 +114,22 @@ def _dur_trainer(args, ids):
 
 def stage3_duration(args, ids):
     trainer, hparams = _dur_trainer(args, ids)
+    _log_resume_state(hparams, "stage 3 (duration)")
     trainer.init(hparams)
     trainer.train(hparams)
     logger.info("duration model trained")
 
 
-def _acoustic_trainer(args, ids):
+def _log_resume_state(hparams, what):
+    nn_dir = os.path.join(hparams.out_dir, hparams.model_name,
+                          hparams.get("networks_dir", "nn"))
+    if os.path.isdir(nn_dir) and os.listdir(nn_dir):
+        logger.info("%s: existing checkpoint in %s — training resumes "
+                    "on top of it; use a fresh --work_dir to retrain "
+                    "from scratch.", what, nn_dir)
+
+
+def _acoustic_trainer(args, ids, strict_load=False):
     from idiaptts_tpu.train.acoustic import AcousticModelTrainer
     hparams = AcousticModelTrainer.create_hparams()
     hparams.num_questions = _num_questions(args)
@@ -133,10 +144,14 @@ def _acoustic_trainer(args, ids):
     hparams.test_set_perc = 0.0
     hparams.val_set_perc = 0.25
     hparams.synth_fs = 16000
-    # Kaldi-style stage resume: later stages (benchmark/synth/serve)
-    # must score the TRAINED model, not a fresh one; with no checkpoint
-    # on disk yet, stage 4 still trains from scratch.
-    hparams.load_newest_checkpoint = True
+    # Kaldi-style stage resume.  Later stages (benchmark/synth/serve)
+    # demand the TRAINED model and fail loudly if it is missing
+    # (strict); stage 4 loads leniently so a fresh work_dir still
+    # trains from scratch (a found checkpoint resumes, logged).
+    if strict_load:
+        hparams.load_from_checkpoint = True
+    else:
+        hparams.load_newest_checkpoint = True
     trainer = AcousticModelTrainer(
         hparams, ids,
         dir_question_labels=os.path.join(args.work_dir, "questions"),
@@ -146,6 +161,7 @@ def _acoustic_trainer(args, ids):
 
 def stage4_acoustic(args, ids):
     trainer, hparams = _acoustic_trainer(args, ids)
+    _log_resume_state(hparams, "stage 4 (acoustic)")
     if args.small_models:
         from idiaptts_tpu.models.rnn_dyn import convert_legacy_string
         cfg = convert_legacy_string(
@@ -161,7 +177,7 @@ def stage4_acoustic(args, ids):
 
 
 def stage5_benchmark(args, ids):
-    trainer, hparams = _acoustic_trainer(args, ids)
+    trainer, hparams = _acoustic_trainer(args, ids, strict_load=True)
     if args.small_models:
         from idiaptts_tpu.models.rnn_dyn import convert_legacy_string
         cfg = convert_legacy_string(
@@ -179,7 +195,7 @@ def stage5_benchmark(args, ids):
 
 
 def stage6_synth(args, ids):
-    trainer, hparams = _acoustic_trainer(args, ids)
+    trainer, hparams = _acoustic_trainer(args, ids, strict_load=True)
     if args.small_models:
         from idiaptts_tpu.models.rnn_dyn import convert_legacy_string
         cfg = convert_legacy_string(

@@ -547,6 +547,40 @@ class WorldFeatLabelGen(NpzDataReader, LabelGen):
             return label_dict, norm_first
         return norm_first
 
+    def import_corpus(self, features_by_id, dir_out,
+                      file_id_list_name=None):
+        """Write precomputed WORLD statics as a training-ready corpus:
+        per-stream npz (+deltas per the reader config) and the same
+        norm statistics ``gen_data`` would produce.  ``features_by_id``
+        maps id -> ``(coded_sp, lf0, vuv, bap)``.  The migration path
+        for features extracted outside this framework (or synthetic
+        corpora with analytically known features)."""
+        norm_sp = MeanCovarianceExtractor() if self.add_deltas \
+            else MeanStdDevExtractor()
+        norm_lf0 = MeanCovarianceExtractor() if self.add_deltas \
+            else MeanStdDevExtractor()
+        norm_bap = MeanCovarianceExtractor() if self.add_deltas \
+            else MeanStdDevExtractor()
+        for file_name, (coded_sp, lf0, vuv, bap) in \
+                features_by_id.items():
+            coded_sp = np.atleast_2d(np.asarray(coded_sp, np.float32))
+            lf0 = np.asarray(lf0, np.float32).reshape(len(coded_sp), -1)
+            vuv = np.asarray(vuv, np.float32).reshape(len(coded_sp), -1)
+            bap = np.asarray(bap, np.float32).reshape(len(coded_sp), -1)
+            if self.add_deltas:
+                coded_sp_full = _stack_deltas(coded_sp)
+                lf0_full = _stack_deltas(lf0)
+                bap_full = _stack_deltas(bap)
+            else:
+                coded_sp_full, lf0_full, bap_full = coded_sp, lf0, bap
+            norm_sp.add_sample(coded_sp_full)
+            norm_lf0.add_sample(lf0_full)
+            norm_bap.add_sample(bap_full)
+            self.save_output(file_name, dir_out, coded_sp_full,
+                             lf0_full, vuv, bap_full)
+        self._save_norm_params(dir_out, file_id_list_name, norm_sp,
+                               norm_lf0, norm_bap)
+
     def _extract_corpus(self, dir_in, id_list, file_ext):
         """Yield ``(id, (coded_sp, lf0, vuv, bap), fs)`` per utterance.
 

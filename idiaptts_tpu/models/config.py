@@ -43,6 +43,14 @@ class ModelConfig:
     def create_model(self):
         raise NotImplementedError
 
+    def all_input_names(self):
+        """Every name this module reads from the data dict — configs
+        with side inputs beyond ``input_names`` (e.g. the VTLN layer's
+        ``alpha_input_names``) override this so generic machinery
+        (forward(input_only=True) reader filtering) keeps their
+        readers."""
+        return tuple(self.input_names or ())
+
     # -- (de)serialisation ------------------------------------------------
     def to_json(self):
         return json.dumps(_encode(self), indent=2)

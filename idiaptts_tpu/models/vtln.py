@@ -172,6 +172,10 @@ class AllPassWarpLayer(nn.Module):
         def create_model(self):
             return _AllPassWarpDictModule(config=self)
 
+        def all_input_names(self):
+            return tuple(self.input_names or ()) \
+                + tuple(self.alpha_input_names or ())
+
 
 class _AllPassWarpDictModule(nn.Module):
     """Dict-protocol wrapper: reads the pre-net output and alpha inputs

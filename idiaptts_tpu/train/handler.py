@@ -567,22 +567,27 @@ class ModularModelHandler(ModelHandler):
                                    "reinitialised: %s", e)
                     self.opt_state = self.optimiser.init(self.params)
         opt_path = os.path.join(out_dir, "optimiser_" + suffix)
-        if load_optimiser and os.path.isfile(opt_path) \
-                and self.optimiser is not None:
+        if os.path.isfile(opt_path):
+            # best_loss/total_steps metadata lives in the optimiser
+            # sidecar; read it even when the optimiser STATE is not
+            # wanted (resume via load_newest must not clobber a better
+            # params_best with the resumed run's first validation).
             with open(opt_path, "rb") as f:
                 opt_blob = flax.serialization.msgpack_restore(f.read())
-            try:
-                self.opt_state = flax.serialization.from_state_dict(
-                    self.optimiser.init(self.params),
-                    opt_blob["opt_state"])
-            except (KeyError, ValueError) as e:
-                logger.warning("Optimiser state mismatch, reinitialised:"
-                               " %s", e)
-                self.opt_state = self.optimiser.init(self.params)
             best_loss = opt_blob.get("best_loss")
             if isinstance(best_loss, np.ndarray):
                 best_loss = float(best_loss)
             self.total_steps = int(opt_blob.get("total_steps", 0) or 0)
+            if load_optimiser and self.optimiser is not None:
+                try:
+                    self.opt_state = \
+                        flax.serialization.from_state_dict(
+                            self.optimiser.init(self.params),
+                            opt_blob["opt_state"])
+                except (KeyError, ValueError) as e:
+                    logger.warning("Optimiser state mismatch, "
+                                   "reinitialised: %s", e)
+                    self.opt_state = self.optimiser.init(self.params)
         sched_path = os.path.join(out_dir, "scheduler_" + suffix)
         if load_scheduler and os.path.isfile(sched_path) \
                 and self.scheduler is not None:

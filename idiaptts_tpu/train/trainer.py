@@ -441,12 +441,13 @@ class ModularTrainer:
         def collect(cfg):
             if cfg is None:
                 return
-            # Side inputs (e.g. AllPassWarpLayer's alpha_input_names)
-            # are model inputs too — forward(input_only=True) must keep
-            # their readers.
-            for attr in ("input_names", "alpha_input_names"):
-                for name in (getattr(cfg, attr, None) or ()):
-                    names.add(name)
+            # all_input_names covers side inputs too (e.g. the VTLN
+            # layer's alpha_input_names) — forward(input_only=True)
+            # must keep their readers.
+            getter = getattr(cfg, "all_input_names", None)
+            for name in (getter() if callable(getter)
+                         else (getattr(cfg, "input_names", None) or ())):
+                names.add(name)
             for attr in ("module_configs",):
                 for sub in getattr(cfg, attr, []) or []:
                     collect(sub)

@@ -511,12 +511,10 @@ def test_vtln_learns_speaker_dependent_warp(fixtures_dir, tmp_path):
     import create_fixtures as cf
 
     from idiaptts_tpu.data.category import CategoryDataReader
-    from idiaptts_tpu.data.normalisation import MeanCovarianceExtractor
     from idiaptts_tpu.data.questions import QuestionLabelGen
     from idiaptts_tpu.data.world_feat import WorldFeatLabelGen
     from idiaptts_tpu.models.rnn_dyn import convert_legacy_string
     from idiaptts_tpu.ops import mcep as mcep_ops
-    from idiaptts_tpu.ops.interpolation import add_deltas
     from idiaptts_tpu.train.vtln_trainer import \
         VTLNSpeakerAdaptionModelTrainer
 
@@ -528,12 +526,9 @@ def test_vtln_learns_speaker_dependent_warp(fixtures_dir, tmp_path):
     gen = WorldFeatLabelGen.Config(
         name="cmp_features", directory=world_dir, add_deltas=True,
         num_coded_sps=num_sps).create_reader()
-    norm_sp = MeanCovarianceExtractor()
-    norm_lf0 = MeanCovarianceExtractor()
-    norm_bap = MeanCovarianceExtractor()
 
     speakers = {"A": (1.0, 1.0), "B": (1.25, 1.35)}
-    ids, speaker_of = [], {}
+    ids, speaker_of, features = [], {}, {}
     rng = np.random.default_rng(7)
     import jax.numpy as jnp
     for spk, (fsc, f0sc) in speakers.items():
@@ -544,21 +539,13 @@ def test_vtln_learns_speaker_dependent_warp(fixtures_dir, tmp_path):
                 rng, plan, fs, formant_scale=fsc, f0_scale=f0sc)
             coded = np.asarray(mcep_ops.amp_sp_to_mcep(
                 jnp.asarray(amp_sp), num_sps - 1, alpha))
-            sp_full = add_deltas(coded)
-            lf0_full = add_deltas(lf0[:, None])
-            bap_full = add_deltas(bap[:, None]
-                                  if bap.ndim == 1 else bap)
-            norm_sp.add_sample(sp_full)
-            norm_lf0.add_sample(lf0_full)
-            norm_bap.add_sample(bap_full)
-            gen.save_output(uid, world_dir, sp_full, lf0_full,
-                            vuv[:, None] if vuv.ndim == 1 else vuv,
-                            bap_full)
+            features[uid] = (coded, lf0, vuv, bap)
             cf.write_labels(plan, uid, corpus_root)
             ids.append(uid)
             speaker_of[uid] = spk
-    gen._save_norm_params(world_dir, None, norm_sp, norm_lf0,
-                          norm_bap)
+    # Public import path: precomputed statics -> per-stream npz +
+    # deltas + norm stats (the gen_data layout without extraction).
+    gen.import_corpus(features, world_dir)
 
     q_dir = str(tmp_path / "questions")
     q_file = os.path.join(fixtures_dir, "questions-gen_dnn.hed")
