@@ -298,12 +298,19 @@ class EncDecGraph(nn.Module):
             self.process_group = process_group
 
         def create_model(self):
-            inner = self.config
+            # Work on a copy: the inner config may be shared between
+            # graphs or reused after this call, and its own
+            # input_merge_type wins when it set one explicitly.
+            import copy
+            inner = copy.copy(self.config)
             if inner.input_names is None:
                 inner.input_names = self.input_names
             if inner.output_names is None:
                 inner.output_names = self.output_names
-            inner.input_merge_type = self.input_merge_type
+            if getattr(inner, "input_merge_type", None) in (
+                    None, ModelConfig.MERGE_CAT) \
+                    and self.input_merge_type != ModelConfig.MERGE_CAT:
+                inner.input_merge_type = self.input_merge_type
             return inner.create_model()
 
     class Config(ModelConfig):

@@ -50,7 +50,13 @@ class WindowingWrapper(nn.Module):
         lengths = select_lengths(lengths, *self.input_names)
         x0 = jnp.asarray(data_dict[self.input_names[0]])
         B = x0.shape[0]
-        T = x0.shape[1] if x0.ndim > 2 else 1
+        # Sequence length = max over ALL inputs (a static 2-D input
+        # like a speaker embedding listed first must not disable
+        # windowing; reference WindowingWrapper derives T from the
+        # merged inputs).
+        T = max([jnp.asarray(data_dict[n]).shape[1]
+                 for n in self.input_names
+                 if jnp.asarray(data_dict[n]).ndim > 2] or [1])
         W, S = self.window_size, self.window_step
 
         if T <= W:

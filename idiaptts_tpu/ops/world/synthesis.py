@@ -29,7 +29,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from idiaptts_tpu.ops import stft as stft_ops
 
 # Degree-9 odd minimax polynomial for sin(pi*t) on [-1, 1]
 # (max error 5.9e-6 = -104 dB, inaudible).  XLA's sin on TPU spends
@@ -89,7 +88,7 @@ def _sample_log_field(log_field, x, num_ceps=64):
     return acc
 
 
-def _harmonic_bank(f0, f0_safe, amp, fs, hop):
+def _harmonic_bank(f0_safe, amp, fs, hop):
     """N-domain additive synthesis shared by the field-sampled and
     direct-mcep harmonic paths: per-sample phase accumulation + the
     minimax sin bank.  amp (T, H) per-frame harmonic amplitudes."""
@@ -154,7 +153,7 @@ def _harmonic_part(f0, f0_cont, sp_power, ap, fs, hop, max_harmonics):
     # ±0.3 dB in the round-trip test).
     amp = 2.0 * jnp.sqrt(env_p * f0_safe[:, None] / fs)
     amp = amp * periodic_frac * below_nyq * voiced[:, None]
-    return _harmonic_bank(f0, f0_safe, amp, fs, hop)
+    return _harmonic_bank(f0_safe, amp, fs, hop)
 
 
 def _ap_at_freqs(bap, freqs, fs):
@@ -222,7 +221,7 @@ def _harmonic_part_mcep(f0, f0_cont, coded, bap, fs, hop, alpha,
     periodic_frac = jnp.sqrt(jnp.clip(1.0 - ap_h ** 2, 0.0, 1.0))
     amp = 2.0 * jnp.sqrt(env_p * f0_safe[:, None] / fs)
     amp = amp * periodic_frac * below_nyq * voiced[:, None]
-    return _harmonic_bank(f0, f0_safe, amp, fs, hop)
+    return _harmonic_bank(f0_safe, amp, fs, hop)
 
 
 @partial(jax.jit, static_argnames=("fs", "hop"))
@@ -258,6 +257,12 @@ def _noise_part(f0, sp_power, ap, fs, hop, key):
     # k = win // hop diagonally-shifted layouts (no scatters).  The
     # scale below is window-length independent for hann (sum w^2 =
     # (3/8) win cancels), so the choice only affects time resolution.
+    # The window must fit inside the irfft frame; callers size the
+    # bin grid so n_fft >= hop (see _vocode_one).
+    if n_fft < hop:
+        raise ValueError(
+            "noise grid too small: n_fft {} < hop {} (increase "
+            "num_bins so 2*(num_bins-1) >= hop)".format(n_fft, hop))
     k = max(1, min(4, n_fft // hop))
     win = k * hop
     w_np = np.asarray(0.5 - 0.5 * np.cos(

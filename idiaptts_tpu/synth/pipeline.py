@@ -36,8 +36,10 @@ def _vocode_one(coded, lf0, vuv, bap, f0_cont, key, fs, hop, num_bins,
     # Noise shaping on a coarse grid: the target spectrum (order-20
     # mcep envelope x band-interpolated ap) has no structure finer than
     # ~400 Hz, so 129 bins (n_fft 256 vs 1024) lose nothing and cut
-    # the noise path's FFT work 4x.
-    nb_small = min(num_bins, 129)
+    # the noise path's FFT work 4x.  The grid must still cover one hop
+    # (n_fft = 2*(nb-1) >= hop) so the noise overlap-add window fits —
+    # large hops (48 kHz / 10 ms -> 480 samples) raise it as needed.
+    nb_small = max(min(num_bins, 129), hop // 2 + 1 + (hop % 2))
     amp_small = mcep_ops.mcep_to_amp_sp(coded, nb_small, alpha)
     ap_small = decode_aperiodicity(bap, nb_small, fs)
     noise = _noise_part(f0, amp_small ** 2, ap_small, fs, hop, key)

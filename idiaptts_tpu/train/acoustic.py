@@ -297,6 +297,7 @@ class AcousticModelTrainer(ModularTrainer):
                     hparams.get("frame_size_ms", 5),
                     hparams.get("num_bap", 1),
                     bool(hparams.get("do_post_filtering")),
+                    hparams.get("mgc_alpha"),
                     input_names, widths)
         cache = getattr(self, "_fused_pipelines", None)
         if cache is None:
@@ -343,7 +344,8 @@ class AcousticModelTrainer(ModularTrainer):
                 num_bins=mcep_ops.fs_to_frame_length(fs) // 2 + 1,
                 post_filter=bool(hparams.get("do_post_filtering")),
                 mean=np.asarray(mean).reshape(-1),
-                scale=np.asarray(scale).reshape(-1))
+                scale=np.asarray(scale).reshape(-1),
+                mgc_alpha=hparams.get("mgc_alpha"))
             cache[pipe_key] = pipeline
         params = handler.ema.shadow if handler.ema is not None \
             else handler.params

@@ -594,10 +594,12 @@ class ModularTrainer:
                 if value.ndim != 2:
                     continue
                 if value.shape[1] > 4:
-                    # Wide feature (coded sp, questions, ...): image view.
-                    plotter.set_spec_data(grid, value.T
+                    # Wide feature (coded sp, questions, ...): image
+                    # view.  DataPlotter expects (T, bins); transpose
+                    # only when the array looks bins-major.
+                    plotter.set_spec_data(grid, value
                                           if value.shape[0] > value.shape[1]
-                                          else value, label=key)
+                                          else value.T, label=key)
                     grid += 1
                     continue
                 curves, areas = [], []

@@ -110,6 +110,8 @@ class DataPlotter:
             length = max(length, len(self.image_data[grid_idx][0]))
         for atom in self.atom_lists.get(grid_idx, []):
             length = max(length, atom.position + 1)
+        for mask, _, _, _ in self.areas.get(grid_idx, []):
+            length = max(length, len(np.atleast_1d(mask)))
         return length
 
     def _times(self, length):
@@ -121,7 +123,8 @@ class DataPlotter:
     def gen_plot(self, sharex=True, figsize=None):
         grids = sorted(set(list(self.data_lists)
                            + list(self.image_data)
-                           + list(self.atom_lists)))
+                           + list(self.atom_lists)
+                           + list(self.areas)))
         if not grids:
             raise ValueError("No data set.")
         n = len(grids)

@@ -621,3 +621,38 @@ def test_windowing_wrapper_cat_merge():
     assert out.shape == (1, 75, 2)      # 3 chunks x 25, zero padded
     np.testing.assert_allclose(out[0, :70], np.asarray(x[0]) * 3.0,
                                atol=1e-4)
+
+
+def test_windowing_wrapper_static_first_input():
+    """WindowingWrapper derives the sequence length from ALL inputs:
+    a static 2-D input (speaker embedding) listed FIRST must not
+    disable windowing (regression: T was taken from input_names[0])."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from idiaptts_tpu.models.wrappers import WindowingWrapper
+    from idiaptts_tpu.models.named import NamedForwardWrapper
+    import flax.linen as nn
+
+    class Probe(nn.Module):
+        """Records the time length it was called with."""
+        @nn.compact
+        def __call__(self, data_dict, lengths=None, training=False):
+            x = data_dict["frames"]
+            emb = data_dict["spk"]
+            out = x + emb[:, None, :] if emb.ndim == 2 else x + emb
+            return {"pred": out * 1.0}
+
+    B, T, D = 2, 50, 3
+    wrapper = WindowingWrapper(
+        wrapped=Probe(), input_names=("spk", "frames"),
+        output_names=("pred",), window_size=16, window_step=8)
+    data = {"spk": jnp.ones((B, D)),
+            "frames": jnp.asarray(
+                np.random.RandomState(0).randn(B, T, D), jnp.float32)}
+    params = wrapper.init(jax.random.PRNGKey(0), data,
+                          lengths=jnp.array([T, T - 5]))
+    out = wrapper.apply(params, data, lengths=jnp.array([T, T - 5]))
+    # Windowing engaged (T=50 > 16) and output covers the full length.
+    assert out["pred"].shape == (B, T, D)
+    assert np.isfinite(np.asarray(out["pred"])).all()

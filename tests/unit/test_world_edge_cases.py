@@ -169,3 +169,26 @@ def test_float_to_pcm16_nan_safe():
     pcm = float_to_pcm16(np.array([np.nan, np.inf, -np.inf, 0.5, -2.0]))
     assert pcm.dtype == np.int16
     assert pcm[0] == 0 and pcm[1] == 32767 and pcm[2] == -32767
+
+
+def test_large_hop_noise_grid():
+    """48 kHz at 10 ms frame shift (hop 480 > the default 256-point
+    coarse noise grid): the fused vocoder body raises the grid so the
+    noise overlap-add window fits (regression: broadcast crash)."""
+    import jax
+    import numpy as np
+    from idiaptts_tpu.synth.pipeline import BatchedWorldSynth
+
+    fs, T, D = 48000, 24, 20
+    synth = BatchedWorldSynth(D, fs=fs, frame_shift_ms=10.0,
+                              num_bap=5, bucket=8)
+    rng = np.random.RandomState(0)
+    feats = np.zeros((T, D + 2 + 5), np.float32)
+    feats[:, 0] = -2.0                      # quiet envelope
+    feats[:, D] = np.log(150.0)             # lf0
+    feats[:, D + 1] = 1.0                   # voiced
+    feats[:, D + 2:] = -1.0                 # bap
+    wavs = synth([feats])
+    hop = int(fs * 0.010)
+    assert wavs[0].shape == (T * hop,)
+    assert np.isfinite(wavs[0]).all()
