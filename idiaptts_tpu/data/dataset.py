@@ -36,7 +36,10 @@ class DatareadersDataset:
 
     def get_input_dim(self, input_names):
         sample, _ = self[0]
-        return sum(np.atleast_2d(sample[name]).shape[-1]
+        # A 1-D feature is one channel over time — atleast_2d would
+        # report its LENGTH as the dim.
+        return sum(1 if np.ndim(sample[name]) <= 1
+                   else np.asarray(sample[name]).shape[-1]
                    for name in input_names)
 
     def __getitem__(self, item):
@@ -168,9 +171,12 @@ class DatareadersDataset:
 
 
 class WindowingDatareadersDataset(DatareadersDataset):
-    """Iterates fixed-size windows over long utterances
+    """Fixed-size windows over long utterances
     (PyTorchWindowingDatareadersDataset role) — deterministic, no
-    multiprocessing needed; the JAX input pipeline prefetches."""
+    multiprocessing needed; the JAX input pipeline prefetches.
+    ``work_items``/``get_work_item`` feed the trainer's batcher one
+    item per window; ``__iter__`` exposes the same windows as a plain
+    iterator."""
 
     def __init__(self, id_list, datareaders, window_size=500,
                  window_step=50, **kwargs):
@@ -178,22 +184,51 @@ class WindowingDatareadersDataset(DatareadersDataset):
         self.window_size = window_size
         self.window_step = window_step
 
+    @staticmethod
+    def _seq_length(output):
+        """Windowable length: min over SEQUENCE features (length-1
+        per-utterance statics such as speaker ids don't cap it)."""
+        lens = [len(v) for k, v in output.items()
+                if k != "_id_list" and np.ndim(v) >= 1 and len(v) > 1]
+        return min(lens) if lens else 1
+
+    def _num_windows(self, length):
+        return max(1, 1 + math.ceil((length - self.window_size)
+                                    / self.window_step))
+
+    def _window(self, output, w, num_windows):
+        length = self._seq_length(output)
+        start = w * self.window_step
+        end = min(start + self.window_size, length)
+        window = {k: (v if k == "_id_list"
+                      or np.ndim(v) < 1 or len(v) <= 1
+                      else v[start:end])
+                  for k, v in output.items()}
+        window["_window_idx"] = w
+        window["_num_windows"] = num_windows
+        return window
+
+    def work_items(self, id_list):
+        items = []
+        for id_name in id_list:
+            output, _ = self.get_id_name(id_name)
+            nw = self._num_windows(self._seq_length(output))
+            items.extend((id_name, w, nw) for w in range(nw))
+        return items
+
+    def get_work_item(self, item):
+        if not isinstance(item, tuple):
+            return self.get_id_name(item)
+        id_name, w, nw = item
+        output, _ = self.get_id_name(id_name)
+        return self._window(output, w, nw), self
+
     def __iter__(self):
         for id_name in self.id_list:
             output, _ = self.get_id_name(id_name)
-            length = min(len(v) for k, v in output.items()
-                         if k != "_id_list")
-            num_windows = max(
-                1, 1 + math.ceil((length - self.window_size)
-                                 / self.window_step))
+            num_windows = self._num_windows(self._seq_length(output))
             for w in range(num_windows):
-                start = w * self.window_step
-                end = min(start + self.window_size, length)
-                window = {k: (v if k == "_id_list" else v[start:end])
-                          for k, v in output.items()}
-                window["_window_idx"] = w
-                window["_num_windows"] = num_windows
-                yield window, self
+                yield self._window(output, w, num_windows), self
 
 
 DEFAULT_BUCKET_BOUNDARIES = (128, 256, 512, 1024, 2048, 4096)
@@ -262,7 +297,16 @@ def collate_batch(samples, bucket_boundaries=DEFAULT_BUCKET_BOUNDARIES,
 
     for key in keys:
         batch["_seq_mask:" + key] = make_mask(key)
-    batch["_seq_mask"] = batch["_seq_mask:" + keys[0]]
+    # The back-compat unqualified mask belongs to the LONGEST sequence
+    # group, not whichever key happens to be first (a static
+    # speaker-id feature listed first would otherwise hand every
+    # seq_mask="_seq_mask" loss an all-ones (B, 1, 1) mask).
+    seq_key = keys[0]
+    for key in keys:
+        if batch[key].shape[1 if batch_first else 0] == max_len_overall:
+            seq_key = key
+            break
+    batch["_seq_mask"] = batch["_seq_mask:" + seq_key]
     batch["_lengths"] = lengths
     batch["_id_list"] = [s.get("_id_list") for s in samples]
     return batch

@@ -184,8 +184,17 @@ class NpzDataReader(DataReader):
             if reader.normaliser is not None and reader.norm_params is None:
                 try:
                     reader.get_normalisation_params()
-                except (AssertionError, FileNotFoundError):
-                    pass
+                except (AssertionError, FileNotFoundError) as e:
+                    # Tolerated (stats may be provided later or the
+                    # reader may be output-only), but NOT silent: a
+                    # configured norm_type without stats means raw
+                    # unnormalised features.
+                    import logging
+                    logging.getLogger(__name__).warning(
+                        "Reader %s: norm_type %s configured but no "
+                        "normalisation stats found (%s) — features "
+                        "will pass through unnormalised.",
+                        self.name, self.norm_type, e)
             return reader
 
     _NORMALISERS = {
@@ -259,7 +268,10 @@ class NpzDataReader(DataReader):
     def load(self, id_name):
         id_name = os.path.splitext(os.path.basename(id_name))[0]
         missing = list(self.features)
-        found = []
+        # Collect by NAME: features split across directories must land
+        # on their declared position regardless of directory-scan
+        # order (norm params are applied positionally downstream).
+        found = {}
         for directory in self.directory:
             if directory is None:
                 continue
@@ -268,8 +280,8 @@ class NpzDataReader(DataReader):
                 archive = np.load(path)
                 for feature in list(missing):
                     if feature in archive:
-                        found.append(archive[feature].astype(np.float32,
-                                                             copy=False))
+                        found[feature] = archive[feature].astype(
+                            np.float32, copy=False)
                         missing.remove(feature)
             elif self.raw_file_extension is not None:
                 raw_path = os.path.join(directory,
@@ -278,13 +290,13 @@ class NpzDataReader(DataReader):
                     arr = np.fromfile(raw_path, dtype=np.float32)
                     if self.raw_feature_dims and self.raw_feature_dims > 1:
                         arr = arr.reshape(-1, self.raw_feature_dims)
-                    found.append(arr)
-                    missing.pop(0)
+                    found[missing.pop(0)] = arr
         if missing:
             raise FileNotFoundError(
                 "Cannot find features {} for id {} in {}".format(
                     missing, id_name, self.directory))
-        return found[0] if len(found) == 1 else found
+        ordered = [found[f] for f in self.features]
+        return ordered[0] if len(ordered) == 1 else ordered
 
     # -- pre/post processing ---------------------------------------------
     def preprocess_sample(self, features, feature_idx=0):
@@ -304,8 +316,16 @@ class NpzDataReader(DataReader):
 
     def postprocess_sample(self, features, feature_idx=0):
         if isinstance(features, dict):
-            return {name: self.postprocess_sample(features[name], i)
-                    for i, name in enumerate(self.features)}
+            # Keys may follow either naming; resolve each key's norm
+            # index through features/output_names rather than assuming
+            # dict order matches self.features.
+            def index_of(name):
+                for names in (self.features, self.output_names):
+                    if names and name in names:
+                        return list(names).index(name)
+                return 0
+            return {name: self.postprocess_sample(value, index_of(name))
+                    for name, value in features.items()}
         if self.postprocess_before_norm and self.postprocessing_fn is not None:
             features = self.postprocessing_fn(features)
         if self.normaliser is not None and self.norm_params is not None:

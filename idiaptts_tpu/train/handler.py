@@ -242,6 +242,17 @@ class ModularModelHandler(ModelHandler):
         self.scheduler = create_scheduler(
             hparams.get("scheduler_type", "default"), self.base_lr,
             hparams.get("scheduler_args", {}), hparams)
+        opt_index = getattr(self, "_opt_index", None)
+        if self.scheduler is not None and self.opt_state is not None \
+                and opt_index is not None \
+                and not hasattr(self.opt_state[opt_index],
+                                "hyperparams"):
+            logger.warning(
+                "Scheduler %s configured but the optimiser was built "
+                "without inject_hyperparams (callable optimiser_type) "
+                "— the learning rate cannot be updated per step and "
+                "will stay at %s.",
+                hparams.get("scheduler_type"), self.base_lr)
         self.iterations_per_scheduler_step = hparams.get(
             "iterations_per_scheduler_step")
         self.epochs_per_scheduler_step = hparams.get(
@@ -291,6 +302,10 @@ class ModularModelHandler(ModelHandler):
         flat_out = dict(out)
         for key, value in _flatten_intermediates(inter).items():
             flat_out[key] = value
+            # Bare leaf alias for single-instance intermediates
+            # (losses reference e.g. "vae_mu"); never shadows a model
+            # output or an earlier alias.
+            flat_out.setdefault(key.rsplit("/", 1)[-1], value)
         total = 0.0
         loss_values = {}
         backprop = getattr(self, "backprop_loss_names", None)
@@ -434,10 +449,17 @@ class ModularModelHandler(ModelHandler):
         if last:
             suffixes.append("last")
         params_to_save = self.params
-        if self.ema is not None:
-            params_to_save = self.ema.shadow  # EMA params in checkpoints
         state = {"params": params_to_save,
                  "batch_stats": self.batch_stats}
+        if self.ema is not None:
+            # Reference semantics: EMA params are what a checkpoint
+            # serves for inference (ModularModelHandlerPyTorch
+            # :102-106) — but the RAW optimised params ride along so a
+            # resumed run continues from the weights the optimiser
+            # moments belong to (load_checkpoint restores both).
+            state = {"params": self.ema.shadow,
+                     "raw_params": self.params,
+                     "batch_stats": self.batch_stats}
         def atomic_write(path, blob, mode="wb"):
             # Write-then-rename so a crash or concurrent reader never
             # sees a truncated checkpoint.
@@ -524,7 +546,7 @@ class ModularModelHandler(ModelHandler):
             orbax_tree = ocp.PyTreeCheckpointer().restore(
                 os.path.abspath(path))
             raw = orbax_tree["state"]
-            if self.params is not None:
+            if self.params is not None and "raw_params" not in raw:
                 state = flax.serialization.from_state_dict(
                     {"params": self.params,
                      "batch_stats": self.batch_stats}, raw)
@@ -533,13 +555,24 @@ class ModularModelHandler(ModelHandler):
         else:
             with open(path, "rb") as f:
                 blob = f.read()
-            template = {"params": self.params,
-                        "batch_stats": self.batch_stats}
-            if self.params is None:
-                state = flax.serialization.msgpack_restore(blob)
-            else:
-                state = flax.serialization.from_bytes(template, blob)
+            # Restore without a template: checkpoints may carry
+            # optional keys (raw_params next to the EMA params) and
+            # every consumer below re-materialises leaves with
+            # jnp.asarray anyway.
+            state = flax.serialization.msgpack_restore(blob)
         new_params = state["params"]
+        # EMA checkpoints: "params" is the inference shadow;
+        # "raw_params" (when present) are the optimised weights the
+        # optimiser moments belong to — use them for resume and seed
+        # the EMA shadow from the saved average.
+        raw_params = state.get("raw_params") \
+            if isinstance(state, dict) else None
+        if raw_params is not None and load_optimiser:
+            shadow = new_params
+            new_params = raw_params
+            if self.ema is not None:
+                self.ema.shadow = jax.tree_util.tree_map(jnp.asarray,
+                                                         shadow)
         if layer_map:
             new_params = _apply_layer_map(new_params, layer_map)
         if ignore_layers and self.params is not None:
@@ -617,10 +650,14 @@ class ModularModelHandler(ModelHandler):
 
 
 def _flatten_intermediates(tree, prefix=""):
+    """Flatten sown intermediates to '<module path>/<leaf>' keys —
+    full paths keep same-named leaves from different submodules (two
+    VAE branches both sowing 'vae_mu') from clobbering each other."""
     out = {}
     if isinstance(tree, dict):
         for key, value in tree.items():
-            out.update(_flatten_intermediates(value, key))
+            qualified = prefix + "/" + key if prefix else key
+            out.update(_flatten_intermediates(value, qualified))
     elif isinstance(tree, (tuple, list)):
         if len(tree) > 0:
             out[prefix] = tree[0]

@@ -248,14 +248,22 @@ class ModularTrainer:
         """Batch iterator with background-thread prefetch: host-side
         loading/collating overlaps device compute (the reference's
         DataLoader-worker role, SURVEY.md §2.8 async host->device)."""
-        ids = list(id_list)
+        # Datasets may expand utterances into several work items (the
+        # windowing dataset yields one item per window) — batch over
+        # items so window_size/window_step actually apply in training.
+        if hasattr(dataset, "work_items"):
+            ids = list(dataset.work_items(id_list))
+            fetch = dataset.get_work_item
+        else:
+            ids = list(id_list)
+            fetch = dataset.get_id_name
         if shuffle:
             random.Random(seed).shuffle(ids)
 
         def produce():
             for start in range(0, len(ids), batch_size):
                 chunk = ids[start:start + batch_size]
-                samples = [dataset.get_id_name(i)[0] for i in chunk]
+                samples = [fetch(i)[0] for i in chunk]
                 yield collate_batch(samples)
 
         if prefetch and prefetch > 0:

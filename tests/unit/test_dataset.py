@@ -274,3 +274,47 @@ def test_multirate_wavenet_masking_uses_target_lengths():
     # Frames past the conditioning length are still computed (nonzero)
     # because masking follows the waveform lengths.
     assert np.abs(np.asarray(logits[:, T_cond + 1:T_wav - 8])).max() > 0
+
+
+def test_windowing_dataset_feeds_training_batches():
+    """work_items/get_work_item expand utterances into windows for the
+    trainer's batcher (regression: windowing only lived in __iter__,
+    which the training path never used), and per-utterance statics
+    neither cap the window length nor get sliced."""
+    import numpy as np
+    from idiaptts_tpu.data.dataset import WindowingDatareadersDataset
+
+    class FakeReader:
+        name = "frames"
+        output_names = ("frames",)
+        match_length = None
+        max_frames = None
+
+        def __getitem__(self, id_name):
+            T = {"a": 120, "b": 40}[id_name]
+            return {"frames": np.arange(T, dtype=np.float32)[:, None],
+                    "_id_list": id_name}
+
+    class StaticReader:
+        name = "spk"
+        output_names = ("spk",)
+        match_length = None
+        max_frames = None
+
+        def __getitem__(self, id_name):
+            return {"spk": np.asarray([3.0], np.float32),
+                    "_id_list": id_name}
+
+    ds = WindowingDatareadersDataset(
+        ["a", "b"], [StaticReader(), FakeReader()],
+        window_size=50, window_step=25)
+    items = ds.work_items(["a", "b"])
+    # a: 120 frames -> 1 + ceil(70/25) = 4 windows; b: 40 -> 1 window.
+    assert len(items) == 5
+    first, _ = ds.get_work_item(items[0])
+    assert first["frames"].shape == (50, 1)
+    assert first["spk"].shape == (1,)          # static untouched
+    last_a, _ = ds.get_work_item(items[3])
+    assert last_a["frames"][0, 0] == 75.0      # start = 3 * 25
+    # __iter__ yields the same windows.
+    assert sum(1 for _ in ds) == 5

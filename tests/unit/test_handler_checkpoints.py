@@ -124,3 +124,41 @@ def test_orbax_backend_roundtrip(tmp_path):
     assert handler2.opt_state is not None
     # _newest_suffix sees orbax dirs.
     assert handler2._newest_suffix(out_dir) in ("e2", "best")
+
+
+def test_ema_checkpoint_serves_shadow_resumes_raw(tmp_path):
+    """EMA checkpoints store the shadow as "params" (what inference
+    loads, reference ModularModelHandlerPyTorch:102-106) PLUS the raw
+    optimised weights, so a resume (load_optimiser=True) continues
+    from the weights the optimiser moments belong to."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    handler = _make_handler()
+    hparams = ExtendedHParams.create_hparams()
+    hparams.setattr_no_type_check("ema_decay", 0.5)
+    handler.set_ema(hparams)
+    # Make shadow and raw params differ.
+    handler.params = jax.tree_util.tree_map(lambda p: p + 1.0,
+                                            handler.params)
+    handler.ema.update(handler.params)
+    shadow = handler.ema.shadow
+    raw = handler.params
+    assert not equal_model(shadow, raw)
+    handler.save_checkpoint(str(tmp_path), "m", last=True)
+
+    # Inference load (no optimiser state wanted): gets the shadow —
+    # this is how ModularTrainer.init loads for synthesis.
+    h_inf = ModularModelHandler()
+    h_inf.load_checkpoint(str(tmp_path), "m", last=True,
+                          load_optimiser=False)
+    assert equal_model(h_inf.params, shadow)
+
+    # Resume load: gets the raw weights back, shadow restored to EMA.
+    h_res = _make_handler()
+    h_res.set_ema(hparams)
+    h_res.load_checkpoint(str(tmp_path), "m", last=True,
+                          load_optimiser=True)
+    assert equal_model(h_res.params, raw)
+    assert equal_model(h_res.ema.shadow, shadow)
