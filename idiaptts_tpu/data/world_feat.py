@@ -287,7 +287,11 @@ class WorldFeatLabelGen(NpzDataReader, LabelGen):
         raise FileNotFoundError(candidates[0])
 
     # -- post-processing --------------------------------------------------
-    def postprocess_sample(self, sample, norm_params=None, apply_mlpg=None):
+    def postprocess_sample(self, sample, feature_idx=0,
+                           norm_params=None, apply_mlpg=None):
+        # Signature matches the base (features, feature_idx) so the
+        # base class's dict branch recurses correctly; the extra knobs
+        # are keyword-only in practice.
         if apply_mlpg is None:
             apply_mlpg = self.apply_mlpg
         saved_fn = self.postprocessing_fn
@@ -297,7 +301,7 @@ class WorldFeatLabelGen(NpzDataReader, LabelGen):
         if norm_params is not None:
             self.norm_params = norm_params
         try:
-            return super().postprocess_sample(sample)
+            return super().postprocess_sample(sample, feature_idx)
         finally:
             self.postprocessing_fn = saved_fn
             self.norm_params = saved_params

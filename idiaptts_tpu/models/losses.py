@@ -57,13 +57,18 @@ class NamedLoss:
         if config.type not in self._FUNCTIONS:
             raise NotImplementedError("Unknown loss type " + config.type)
         self.fn = self._FUNCTIONS[config.type]
+        import inspect
+        self._wants_step = "step" in inspect.signature(
+            self.fn).parameters
 
     def __call__(self, data_dict, step=0):
         cfg = self.config
         pred = jnp.asarray(data_dict[cfg.input_names[0]])
         target = jnp.asarray(data_dict[cfg.input_names[1]]) \
             if len(cfg.input_names) > 1 else None
-        per_elem = self.fn(pred, target, data_dict, **cfg.kwargs)
+        extra = {"step": step} if self._wants_step else {}
+        per_elem = self.fn(pred, target, data_dict, **extra,
+                           **cfg.kwargs)
         mask = None
         if cfg.seq_mask is not None:
             mask = jnp.asarray(data_dict[cfg.seq_mask])
@@ -195,14 +200,20 @@ def _weighted_nonzero_mse(pred, target, data_dict, weight_zero=0.1,
 
 
 @NamedLoss.register("VAEKLDLoss")
-def _vae_kld(pred, target, data_dict, annealing_steps=0,
+def _vae_kld(pred, target, data_dict, step=0, annealing_steps=0,
              annealing_start=0):
     """KLD of the VAE posterior against N(0, I); ``pred`` holds mu and
-    ``target`` the name of logvar via the dict (VAEKLDLoss.py role).
-    Expects dict entries ``vae_mu`` and ``vae_logvar``."""
+    ``target`` the name of logvar via the dict (VAEKLDLoss.py role,
+    incl. the linear annealing schedule).  Expects dict entries
+    ``vae_mu`` and ``vae_logvar``."""
     mu = jnp.asarray(data_dict["vae_mu"])
     logvar = jnp.asarray(data_dict["vae_logvar"])
     kld = -0.5 * (1 + logvar - mu ** 2 - jnp.exp(logvar))
+    if annealing_steps:
+        anneal = jnp.clip(
+            (jnp.asarray(step, jnp.float32) - annealing_start)
+            / float(annealing_steps), 0.0, 1.0)
+        kld = kld * anneal
     return kld
 
 
@@ -211,7 +222,12 @@ def _one_hot_ce(pred, target, data_dict, shift=0):
     """CE with one-hot targets, optional target shift (WaveNet mu-law;
     OneHotCrossEntropyLoss.py:9-16 role)."""
     if shift:
-        target = jnp.roll(target, -shift, axis=-2)
+        # Shift with zero padding, NOT roll: wrapped-around one-hots
+        # would score the tail frames against the sequence start; an
+        # all-zero one-hot contributes exactly zero CE instead.
+        target = jnp.concatenate(
+            [target[..., shift:, :],
+             jnp.zeros_like(target[..., :shift, :])], axis=-2)
     log_probs = jax.nn.log_softmax(pred, axis=-1)
     return -jnp.sum(target * log_probs, axis=-1, keepdims=True)
 
@@ -246,20 +262,29 @@ def _dmol(pred, target, data_dict, num_classes=256, log_scale_min=-7.0):
 @NamedLoss.register("UnWeightedAccuracy")
 def _unweighted_accuracy(pred, target, data_dict, num_classes=None):
     """Class-balanced error rate as a 'loss' (UnWeightedAccuracy.py
-    role): mean over classes of per-class error rates."""
+    role): mean over classes of per-class error rates.  Padded frames
+    are excluded via the batch's "_seq_mask" when present.  Returns a
+    constant per-element field — exact under every mean-family
+    reduction (mean of a constant); use those, not "sum"."""
     if target.ndim == pred.ndim:
         target = target[..., 0]
     pred_cls = jnp.argmax(pred, axis=-1)
+    valid = data_dict.get("_seq_mask")
+    if valid is not None:
+        valid = jnp.asarray(valid)[..., 0] > 0.5
+        valid = jnp.broadcast_to(valid, target.shape)
+    else:
+        valid = jnp.ones(target.shape, bool)
     C = num_classes or pred.shape[-1]
     per_class_err = []
     for c in range(C):
-        in_class = (target == c).astype(jnp.float32)
-        wrong = ((pred_cls != c) & (target == c)).astype(jnp.float32)
+        in_class = ((target == c) & valid).astype(jnp.float32)
+        wrong = ((pred_cls != c) & (target == c)
+                 & valid).astype(jnp.float32)
         per_class_err.append(jnp.sum(wrong)
                              / jnp.maximum(jnp.sum(in_class), 1.0))
     err = jnp.stack(per_class_err).mean()
-    return jnp.broadcast_to(err, target.shape + (1,)) \
-        / np.prod(target.shape)
+    return jnp.broadcast_to(err, target.shape + (1,))
 
 
 def _gamma_kernel(theta, k=6, frame_rate=200, length=100):
@@ -314,7 +339,11 @@ def _weighted_nonzero_wmse_atom(pred, target, data_dict,
     flag column."""
     err = (pred - target) ** 2
     is_nonzero = (jnp.abs(target) > 1e-8).astype(err.dtype)
-    weighted = err * (is_nonzero * weight_non_zero
-                      + (1 - is_nonzero) * weight_zero)
-    vuv_w = jnp.ones(pred.shape[-1]).at[vuv_index].set(weight_vuv)
-    return weighted * vuv_w
+    spike_w = (is_nonzero * weight_non_zero
+               + (1 - is_nonzero) * weight_zero)
+    # The VUV flag column is a dense binary track: weight it by
+    # weight_vuv ONLY (the sparse-spike weighting would down-weight
+    # every unvoiced frame's classification error by weight_zero).
+    is_vuv = jnp.zeros(pred.shape[-1]).at[vuv_index].set(1.0)
+    weights = spike_w * (1.0 - is_vuv) + weight_vuv * is_vuv
+    return err * weights

@@ -316,6 +316,11 @@ class RNNDyn(nn.Module):
             for e_idx, emb_cfg in enumerate(cfg.emb_configs):
                 if _affects(emb_cfg, g_idx, num_groups):
                     emb = embeddings[e_idx]
+                    if emb.ndim > x.ndim:
+                        # Pooled (utterance-level) activations after a
+                        # frame-level embedding: the embedding is
+                        # constant over time, take frame 0.
+                        emb = emb[:, 0]
                     if emb.ndim == x.ndim:
                         x = jnp.concatenate([x, emb], axis=-1)
                     else:
@@ -326,12 +331,16 @@ class RNNDyn(nn.Module):
                             axis=-1)
             if use_remat:
                 # Rematerialise this group's activations in the
-                # backward pass (jax.checkpoint): trade FLOPs for HBM
-                # on long sequences.
-                x = jax.checkpoint(
-                    lambda x_, l_: self._apply_group(
-                        g_idx, layer, x_, l_, training),
-                    static_argnums=())(x, lengths)
+                # backward pass: trade FLOPs for HBM on long
+                # sequences.  The flax-lifted nn.remat (not raw
+                # jax.checkpoint) keeps param creation / dropout rngs
+                # working, and the function form keeps this module's
+                # scope so parameter names (and checkpoints) are
+                # identical to the non-remat path.
+                x = nn.remat(
+                    lambda mdl, x_, l_: mdl._apply_group(
+                        g_idx, layer, x_, l_, training))(
+                    self, x, lengths)
             else:
                 x = self._apply_group(g_idx, layer, x, lengths,
                                       training)
@@ -358,10 +367,14 @@ class RNNDyn(nn.Module):
                                   nonlin=layer.nonlin,
                                   name=name)(x, lengths, training)
         if t.startswith("Conv1d"):
+            # Longest suffix wins ("Conv1dLEAKYRELU" must resolve to
+            # LeakyReLU, not the shorter "relu" suffix).
             nonlin = None
+            best = -1
             for key, fn in _NONLINS.items():
-                if t.endswith(key.upper()) or t.endswith(key):
-                    nonlin = fn
+                if (t.endswith(key.upper()) or t.endswith(key)) \
+                        and len(key) > best:
+                    nonlin, best = fn, len(key)
             kernel = (layer.kernel_size if isinstance(
                 layer.kernel_size, (tuple, list))
                 else (layer.kernel_size,))
@@ -498,7 +511,8 @@ def convert_legacy_string(model_string, in_dim, hparams=None,
                           batch_first=True):
     """Legacy model-string -> Config
     (RNNDyn._get_config_from_legacy_string :150-357 grammar):
-    ``RNNDYN-(-1)x(10x5)_EMB_(0,1)-2_RELU_1024-3_BiLSTM_512-1_FC_67``.
+    ``RNNDYN-129x128_EMB_(-1)-2_RELU_1024-3_BiLSTM_512-1_FC_67``
+    (``<num_embeddings>x<embedding_dim>_EMB_(<group indices>)``).
     """
     if hparams is not None:
         dropout = hparams.get("dropout", dropout)
@@ -532,11 +546,15 @@ def convert_legacy_string(model_string, in_dim, hparams=None,
             num_embeddings, embedding_dim = attrs[0].replace(
                 "(", "").replace(")", "").split("x")
             affected = parse_int_set(attrs[2])
-            if int(num_embeddings) < 0:
-                if f_get_emb_index is None:
-                    raise ValueError(
-                        "EMB layer needs f_get_emb_index in hparams.")
-                num_embeddings = 0  # resolved by caller
+            if int(num_embeddings) <= 0:
+                # The reference's -1 means "infer from the corpus",
+                # which nothing in-package can do — demand an explicit
+                # table size instead of building an empty nn.Embed.
+                raise ValueError(
+                    "EMB layer needs an explicit positive "
+                    "num_embeddings (got {!r}); the reference's -1 "
+                    "placeholder is not resolvable here.".format(
+                        num_embeddings))
             emb_configs.append(EmbeddingConfig(
                 int(embedding_dim), str(len(emb_configs)),
                 int(num_embeddings), affected))
