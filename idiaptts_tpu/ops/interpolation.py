@@ -114,21 +114,38 @@ def add_deltas(features):
 
 def surround_with_norm_dist(label, window_size=5, std_dev=1.0, mean=0.0,
                             threshold=0.2):
-    """Surround each non-zero entry with a normal-distribution bump
-    (atom position smearing, utils.py:108-150)."""
+    """Surround each atom row with a normal-distribution bump scaled by
+    the atom's (signed) row values — exact utils.py:108-150 semantics:
+    the window spans ±threshold_x (where the pdf falls to ``threshold``
+    of its peak), atoms are located by column 0, and overlapping bumps
+    SUM (signed), matching the reference's outer-product accumulation."""
+    import math as _math
     if window_size % 2 == 0:
         window_size += 1
     half = window_size // 2
-    offsets = np.arange(-half, half + 1, dtype=np.float64)
-    window = np.exp(-0.5 * ((offsets - mean) / std_dev) ** 2)
-    window /= window.max()
+    threshold_x = abs(mean + _math.sqrt(
+        -_math.log(threshold) * 2.0 * std_dev ** 2 - mean ** 2))
+    x = np.linspace(-threshold_x, threshold_x, window_size)
+    coefs = np.exp(-0.5 * ((x - mean) / std_dev) ** 2)
+    coefs /= np.exp(-0.5 * ((mean - mean) / std_dev) ** 2)
+
     label = np.asarray(label, dtype=np.float64)
-    flat = label.reshape(len(label), -1)
-    out = np.zeros_like(flat)
-    for t, d in zip(*np.nonzero(np.abs(flat) > 0)):
-        lo = max(0, t - half)
-        hi = min(len(flat), t + half + 1)
-        seg = window[lo - (t - half):window_size - ((t + half + 1) - hi)]
-        out[lo:hi, d] = np.maximum(out[lo:hi, d], seg)
-    out[out < threshold] = 0.0
-    return out.reshape(label.shape).astype(np.float32)
+    squeeze = label.ndim == 1
+    if squeeze:
+        label = label[:, None]
+    out = np.zeros_like(label)
+    (atoms_pos,) = np.nonzero(label[:, 0] != 0)
+    for pos in atoms_pos:
+        start = pos - half
+        dist_start, dist_end = 0, window_size
+        if start < 0:
+            dist_start = -start
+            start = 0
+        end = pos + half
+        if end >= len(label):
+            dist_end = window_size - (end - len(label) + 1)
+            end = len(label) - 1
+        out[start:end + 1] += np.outer(coefs[dist_start:dist_end],
+                                       label[pos])
+    out = out.astype(np.float32)
+    return out[:, 0] if squeeze else out

@@ -183,8 +183,12 @@ def _solve_banded(l0, l1, l2, b):
         yt = (bt - l1_m1 * y_m1 - l2_m2 * y_m2) / l0t
         return (yt, y_m1), yt
 
-    l1_shift = jnp.concatenate([jnp.zeros((1, D), b.dtype), l1[:-1]])
-    l2_shift = jnp.concatenate([jnp.zeros((2, D), b.dtype), l2[:-2]])
+    l1_shift = jnp.concatenate([jnp.zeros((1, D), b.dtype),
+                                l1[:-1]])[:len(b)]
+    # Clamp the 2-row zero pad for T < 3 so every scan input keeps the
+    # same leading axis (single-frame utterances crashed otherwise).
+    l2_shift = jnp.concatenate([jnp.zeros((2, D), b.dtype),
+                                l2[:max(0, len(b) - 2)]])[:len(b)]
     _, y = jax.lax.scan(fwd, (zeros, zeros), (b, l0, l1_shift, l2_shift))
 
     def bwd(carry, inputs):
@@ -213,11 +217,9 @@ def mlpg_jax(features, variances, feature_dim):
                                                        else jnp.float32)
     var_row = variances.reshape(3, feature_dim)
     var = jnp.broadcast_to(var_row[None], (T, 3, feature_dim))
-    boundary = jnp.array([1.0, _BOUNDARY_VAR / 1.0, _BOUNDARY_VAR])
     # Override delta/delta-delta variances at the first and last frame.
     var = var.at[0, 1:, :].set(_BOUNDARY_VAR)
     var = var.at[-1, 1:, :].set(_BOUNDARY_VAR)
-    del boundary
     ab, b = _banded_system_jnp(feats, var)
     l0, l1, l2 = _cholesky_banded_scan(ab)
     return _solve_banded(l0, l1, l2, b)

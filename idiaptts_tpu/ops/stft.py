@@ -95,9 +95,11 @@ def istft(spec, n_fft=1024, hop_length=256, win_length=None, length=None):
             wsq.reshape(-1))
     raw = raw / jnp.maximum(norm, 1e-8)
     pad = n_fft // 2
-    raw = raw[pad:]
+    # Trim the centre padding from BOTH ends (librosa istft semantics):
+    # without an explicit length the result is hop * (F - 1) samples.
+    raw = raw[pad:total - pad]
     if length is not None:
-        raw = raw[:length]
+        raw = jnp.pad(raw, (0, max(0, length - raw.shape[0])))[:length]
     return raw
 
 
@@ -146,11 +148,14 @@ def mel_filterbank(fs, n_fft, n_mels=80, fmin=0.0, fmax=None, norm="slaney"):
 
 
 @partial(jax.jit, static_argnames=("n_fft", "hop_length", "win_length",
-                                   "num_iters", "length"))
+                                   "num_iters", "length", "momentum"))
 def griffin_lim(amp_spec, n_fft=1024, hop_length=256, win_length=None,
-                num_iters=50, length=None, seed=0):
-    """Phase reconstruction by iterative STFT projection
-    (AudioProcessing.amp_sp_to_raw / Synthesiser.run_griffin_lim parity).
+                num_iters=50, length=None, seed=0, momentum=0.99):
+    """Phase reconstruction by momentum-accelerated iterative STFT
+    projection (AudioProcessing.amp_sp_to_raw /
+    Synthesiser.run_griffin_lim parity — librosa.griffinlim defaults to
+    momentum=0.99, which converges much faster than the plain
+    Griffin-Lim alternating projection).
 
     amp_spec: (num_frames, n_fft//2+1) magnitude.  The iteration is a
     ``lax.fori_loop`` over fused FFT pairs — entirely on device.
@@ -160,14 +165,21 @@ def griffin_lim(amp_spec, n_fft=1024, hop_length=256, win_length=None,
                                 maxval=np.pi)
     spec = amp_spec * jnp.exp(1j * angles)
 
-    def body(_, spec):
+    def project(spec):
         raw = istft(spec, n_fft, hop_length, win_length, length)
         re = stft(raw, n_fft, hop_length, win_length)
-        re = re[:amp_spec.shape[0]]
-        phase = re / jnp.maximum(jnp.abs(re), 1e-8)
-        return amp_spec * phase
+        return re[:amp_spec.shape[0]]
 
-    spec = jax.lax.fori_loop(0, num_iters, body, spec)
+    def body(_, carry):
+        spec, prev = carry
+        re = project(spec)
+        accel = re - (momentum / (1.0 + momentum)) * prev \
+            if momentum else re
+        phase = accel / jnp.maximum(jnp.abs(accel), 1e-8)
+        return amp_spec * phase, re
+
+    spec, _ = jax.lax.fori_loop(0, num_iters, body,
+                                (spec, jnp.zeros_like(spec)))
     return istft(spec, n_fft, hop_length, win_length, length)
 
 

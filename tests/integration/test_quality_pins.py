@@ -35,8 +35,13 @@ PINNED_ATOM = {"f0_rmse": 8.8186, "vde": 0.4627}
 # test_AtomNeuralFilterModelTrainer.py:187-193 (214.1 Hz / 0.604) and
 # test_PhraseAtomNeuralFilterModelTrainer.py:224-232 (1679.056 Hz);
 # recorded 2026-08-17, seeded 3-epoch-per-phase recipe).
-PINNED_FLAT = {"f0_rmse": 127.9409, "vde": 0.2645}
-PINNED_PHRASE = {"f0_rmse": 184.7032, "vde": 0.2371}
+# Re-recorded after surround_with_norm_dist gained exact
+# reference semantics (signed, summed, linspace window) —
+# the pos-flag targets changed.  Values deterministic over
+# two runs; both still beat the reference's analogue pins
+# (flat 214.1 Hz / phrase 1679.0 Hz).
+PINNED_FLAT = {"f0_rmse": 160.6132, "vde": 0.2475}
+PINNED_PHRASE = {"f0_rmse": 245.7131, "vde": 0.2133}
 # VTLN speaker-adaptation pin (reference analogue:
 # test_VTLNSpeakerAdaptionModelTrainer.py:184 (8.644 dB / 78.4 / 0.609
 # / 37.352); recorded 2026-08-17, seeded 8-epoch recipe).
