@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 _DEFAULT_F0 = 500.0   # envelope analysis f0 for unvoiced frames
+_F0_CEIL = 800.0      # highest trackable f0 (matches f0.py's ceiling)
 _Q1 = -0.15           # spectral recovery lifter coefficient
 
 
@@ -63,7 +64,11 @@ def _cheaptrick_jit(raw, f0, fs, hop, fft_size):
     # the correction; gathering a narrow slab instead of all bins keeps
     # the dynamic gather off the hot path.
     bin_hz = fs / fft_size
-    K_MIRROR = min(64, num_bins)
+    # Cover every bin below the highest possible f0 (a fixed 64 cap
+    # silently truncated the mirror correction for large fft_size/fs
+    # ratios, e.g. 16 kHz at fft 2048 with f0 near 800 Hz).
+    K_MIRROR = min(int(np.ceil(_F0_CEIL * fft_size / fs)) + 2,
+                   num_bins)
     freqs_m = jnp.arange(K_MIRROR) * bin_hz
     mirror_bin = (2.0 * f0_eff[:, None] - freqs_m[None, :]) / bin_hz
     mirror_bin = jnp.clip(mirror_bin, 0, num_bins - 1)

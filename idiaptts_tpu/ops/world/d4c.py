@@ -92,7 +92,20 @@ def _d4c_jit(raw, f0, fs, hop, fft_size, num_bands, d4c_scale=True):
     f0_samples = jnp.repeat(f0_eff, hop, total_repeat_length=T * hop)
     need = T * hop + hop
     f0_samples = jnp.pad(f0_samples, (0, need - T * hop), mode="edge")
-    phi = 2.0 * jnp.pi * jnp.cumsum(f0_samples) / fs      # (need,)
+    # Accumulate the phase with per-hop wrapping mod 2 cycles (= 4*pi):
+    # a flat f32 cumsum drifts ~0.016 rad after a minute of audio,
+    # which the k/2 slot phasors amplify k/2-fold.  Every half-integer
+    # slot phasor exp(-i*(k/2)*phi) is 4*pi-periodic, so the wrap is
+    # exact.
+    inc = (f0_samples / fs).reshape(-1, hop)             # cycles
+    chunk_sum = jnp.sum(inc, axis=1)
+
+    def _wrap(offset, s):
+        return jnp.mod(offset + s, 2.0), offset
+
+    _, offsets = jax.lax.scan(_wrap, jnp.float32(0.0), chunk_sum)
+    cycles = jnp.mod(offsets[:, None] + jnp.cumsum(inc, axis=1), 2.0)
+    phi = (2.0 * jnp.pi) * cycles.reshape(-1)             # (need,)
 
     # --- gather-free framing (hop-grid slices) ------------------------
     W = int(2 ** np.ceil(np.log2(_WINDOW_PERIODS * fs / _F0_FLOOR)))

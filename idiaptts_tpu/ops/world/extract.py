@@ -36,7 +36,7 @@ def _analysis_jit(raw, fs, hop, window, fft_size, num_bands, order,
                                 uv_cost, trans_w, lag_bias, score_th)
     sp_power = ct._cheaptrick_jit(raw, f0, fs, hop, fft_size)
     ap = d4c_mod._d4c_jit(raw, f0, fs, hop, fft_size, num_bands)
-    bap = jnp.log(jnp.clip(ap, d4c_mod._AP_FLOOR, 1.0))
+    bap = d4c_mod.code_aperiodicity(ap)
     amp = jnp.sqrt(sp_power)
     coded_sp = mcep_ops.amp_sp_to_mcep(amp, order, alpha)
     return f0, coded_sp, bap
@@ -52,31 +52,11 @@ def world_analysis(raw, fs, num_coded_sps=60, frame_shift_ms=5.0,
     0.58 at 16 kHz, AudioProcessing.py:42 commented table, while its
     live code uses pysptk.mcepalpha -> 0.41).
     """
-    if fft_size is None:
-        fft_size = mcep_ops.fs_to_frame_length(fs)
-    hop = int(fs * frame_shift_ms / 1000.0)
-    window = int(2 ** np.ceil(np.log2(fs * 0.03)))
-    alpha = mgc_alpha if mgc_alpha is not None \
-        else mcep_ops.fs_to_mgc_alpha(fs)
-    num_bands = max(1, d4c_mod.get_num_aperiodicities(fs))
-
-    raw = np.asarray(raw, dtype=np.float32)
-    num_frames = max(1, 1 + (len(raw) - 1) // hop)
-    padded_len = int(np.ceil(max(len(raw), 1) / _LENGTH_BUCKET)
-                     * _LENGTH_BUCKET)
-    padded = np.zeros(padded_len, dtype=np.float32)
-    padded[:len(raw)] = raw
-
-    f0, coded_sp, bap = _analysis_jit(
-        jnp.asarray(padded), int(fs), hop, window, int(fft_size),
-        num_bands, num_coded_sps - 1, float(alpha),
-        jnp.float32(f0_mod._UNVOICED_COST),
-        jnp.float32(f0_mod._TRANSITION_W),
-        jnp.float32(f0_mod._LAG_BIAS), jnp.float32(0.47))
-    # ONE device->host transfer for all outputs: each np.asarray is a
-    # full round trip on a tunneled device (~35 ms each).
-    f0, coded_sp, bap = jax.device_get((f0, coded_sp, bap))
-    return (f0[:num_frames], coded_sp[:num_frames], bap[:num_frames])
+    # One code path for sync and async: dispatch + wait.
+    return world_analysis_result(world_analysis_async(
+        raw, fs, num_coded_sps=num_coded_sps,
+        frame_shift_ms=frame_shift_ms, fft_size=fft_size,
+        mgc_alpha=mgc_alpha))
 
 
 def world_analysis_async(raw, fs, num_coded_sps=60, frame_shift_ms=5.0,

@@ -18,9 +18,9 @@ that XLA fuses on device.
 Amplitude calibration: for the analysis convention in
 :mod:`cheaptrick` (unit-energy window, power smoothed over ``2 f0 / 3``)
 a harmonic of envelope power ``E`` needs amplitude
-``A_h = 2 * sqrt(E * f0 / (3 * fs))`` and the noise spectrum multiplier
-is ``sqrt(E * win / 2)`` — derived in the docstring of the test
-round-trip which asserts re-analysis recovers the envelope.
+``A_h = 2 * sqrt(E * f0 / fs)`` and the noise spectrum multiplier
+is ``sqrt(E * win / 2)`` — the round-trip test asserts re-analysis
+recovers the envelope with exactly these constants.
 """
 
 from functools import partial
@@ -107,12 +107,24 @@ def _harmonic_bank(f0_safe, amp, fs, hop):
     f0_next = jnp.concatenate([f0_safe[1:], f0_safe[-1:]])
     f0_s = (f0_safe[:, None] * (1 - w)[None, :]
             + f0_next[:, None] * w[None, :]).reshape(N)
-    # Phase accumulation in cycles, wrapped to [0, 1): sin(2*pi*h*Phi)
-    # equals sin(2*pi*h*(Phi mod 1)) for integer h, and keeping the
-    # argument small preserves f32 phase accuracy over long utterances
-    # (raw phase reaches ~1e7 rad) and avoids slow range reduction.
-    cycles = jnp.cumsum(f0_s) / fs
-    cycles = jnp.mod(cycles, 1.0)                      # (N,)
+    # Phase accumulation in cycles with PER-FRAME wrapping: a flat f32
+    # cumsum loses ~1e-3 cycles after a minute of audio (ulp of 1e8
+    # samples' worth of phase), which harmonic h multiplies h-fold.
+    # Instead accumulate the frame-start offset with a scan that wraps
+    # mod 1 every frame (the carry never exceeds ~hop*f0max/fs cycles,
+    # so each step is f32-exact to ~1e-7) and add the small in-frame
+    # cumsum on top.
+    inc = (f0_s / fs).reshape(T, hop)
+    frame_sum = jnp.sum(inc, axis=1)                   # (T,)
+
+    def wrap_step(offset, s):
+        new = jnp.mod(offset + s, 1.0)
+        return new, offset
+
+    _, frame_offset = jax.lax.scan(wrap_step, jnp.float32(0.0),
+                                   frame_sum)
+    inner = jnp.cumsum(inc, axis=1)                    # (T, hop)
+    cycles = jnp.mod(frame_offset[:, None] + inner, 1.0).reshape(N)
     arg = jnp.mod(cycles[:, None] * h[None, :], 1.0)   # (N, H) in [0,1)
 
     amp_next = jnp.concatenate([amp[1:], amp[-1:]], axis=0)
