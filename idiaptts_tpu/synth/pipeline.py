@@ -94,6 +94,10 @@ class FusedAcousticPipeline:
             var_sp[:D], var_lf0[:1], var_bap[:NB],
             var_sp[D:2 * D], var_lf0[1:2], var_bap[NB:2 * NB],
             var_sp[2 * D:], var_lf0[2:], var_bap[2 * NB:]]))
+        if (mean is None) != (scale is None):
+            raise ValueError(
+                "FusedAcousticPipeline needs BOTH mean and scale for "
+                "denormalisation (got only one)")
         self._mean = None if mean is None else jnp.asarray(mean,
                                                            jnp.float32)
         self._scale = None if scale is None else jnp.asarray(

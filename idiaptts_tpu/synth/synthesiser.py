@@ -189,8 +189,10 @@ class Synthesiser:
         from idiaptts_tpu.ops.interpolation import sample_linearly
         fs = hparams.get("synth_fs", 16000)
         num_coded_sps = hparams.get("num_coded_sps", 60)
-        samples_per_frame = int(fs * hparams.get("frame_shift_ms", 5.0)
-                                / 1000.0)
+        samples_per_frame = int(
+            fs * hparams.get("frame_size_ms",
+                             hparams.get("frame_shift_ms", 5.0))
+            / 1000.0)
         out = {}
         for id_name, feats in synth_output.items():
             feats = np.asarray(feats)

@@ -404,6 +404,7 @@ class AcousticModelTrainer(ModularTrainer):
         os.makedirs(out_dir, exist_ok=True)
         path = os.path.join(out_dir, "{}{}".format(
             id_name, hparams.get("gen_figure_ext", ".pdf")))
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         pred = np.asarray(sample["pred_acoustic_features"])
         sp, lf0, vuv, bap = \
             WorldFeatLabelGen.convert_to_world_features(

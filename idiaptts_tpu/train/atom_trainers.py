@@ -123,8 +123,12 @@ class AtomModelTrainer(ModularTrainer):
             try:
                 phrase = reader.load_phrase(id_name)[:, 0]
                 recon = recon[:len(phrase)] + phrase[:len(recon)]
-            except FileNotFoundError:
-                pass
+            except FileNotFoundError as e:
+                logger.warning(
+                    "Phrase curve missing (%s): scoring the atom "
+                    "reconstruction WITHOUT the phrase component — "
+                    "F0 metrics will be meaningless if phrases were "
+                    "part of training.", e)
             lf0, vuv = self._load_org_lf0(id_name, len(recon))
             out_vuv = (np.abs(np.asarray(
                 sample["pred_atoms"])).sum(-1) > 1e-3).astype(float)
@@ -153,6 +157,7 @@ class AtomModelTrainer(ModularTrainer):
         os.makedirs(out_dir, exist_ok=True)
         path = os.path.join(out_dir, "{}{}".format(
             id_name, hparams.get("gen_figure_ext", ".pdf")))
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         reader = self.datareaders["atoms"]
         pred = np.asarray(sample["pred_atoms"])
         num_thetas = len(reader.theta_interval)
@@ -219,8 +224,12 @@ class AtomVUVDistPosModelTrainer(AtomModelTrainer):
             try:
                 phrase = reader.load_phrase(id_name)[:, 0]
                 recon = recon[:len(phrase)] + phrase[:len(recon)]
-            except FileNotFoundError:
-                pass
+            except FileNotFoundError as e:
+                logger.warning(
+                    "Phrase curve missing (%s): scoring the atom "
+                    "reconstruction WITHOUT the phrase component — "
+                    "F0 metrics will be meaningless if phrases were "
+                    "part of training.", e)
             lf0, vuv = self._load_org_lf0(id_name, len(recon))
             n = min(len(recon), len(lf0))
             metrics.accumulate(id_name, Metrics.get_metrics(

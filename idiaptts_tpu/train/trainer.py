@@ -271,6 +271,7 @@ class ModularTrainer:
             import threading
             q = queue.Queue(maxsize=prefetch)
             stop = object()
+            cancelled = threading.Event()
             # Producer exceptions must propagate to the consumer (the
             # reference's DataLoader re-raises worker errors,
             # ModularModelHandlerPyTorch.py:683); otherwise a bad npz would
@@ -280,22 +281,44 @@ class ModularTrainer:
             def worker():
                 try:
                     for batch in produce():
-                        q.put(batch)
+                        # Bounded put so an abandoned consumer (epoch
+                        # loop raised / KeyboardInterrupt) releases the
+                        # thread instead of leaking it blocked on a
+                        # full queue.
+                        while not cancelled.is_set():
+                            try:
+                                q.put(batch, timeout=1.0)
+                                break
+                            except queue.Full:
+                                continue
+                        if cancelled.is_set():
+                            return
                 except BaseException as exc:  # noqa: BLE001 - re-raised below
                     error.append(exc)
                 finally:
-                    q.put(stop)
+                    # The stop sentinel MUST reach the consumer (a
+                    # full queue would otherwise deadlock it); retry
+                    # until delivered or the consumer cancelled.
+                    while not cancelled.is_set():
+                        try:
+                            q.put(stop, timeout=1.0)
+                            break
+                        except queue.Full:
+                            continue
 
             thread = threading.Thread(target=worker, daemon=True)
             thread.start()
-            while True:
-                batch = q.get()
-                if batch is stop:
-                    break
-                yield batch
-            thread.join()
-            if error:
-                raise error[0]
+            try:
+                while True:
+                    batch = q.get()
+                    if batch is stop:
+                        break
+                    yield batch
+                thread.join()
+                if error:
+                    raise error[0]
+            finally:
+                cancelled.set()
         else:
             yield from produce()
 
@@ -316,6 +339,17 @@ class ModularTrainer:
         all_loss = []
         all_loss_train = []
 
+        try:
+            return self._train_epochs(hparams, batch_size, epochs,
+                                      all_loss, all_loss_train,
+                                      t_start)
+        finally:
+            if profiler_dir:
+                import jax
+                jax.profiler.stop_trace()
+
+    def _train_epochs(self, hparams, batch_size, epochs, all_loss,
+                      all_loss_train, t_start):
         if hparams.get("start_with_test") or epochs == 0:
             loss, _ = self.model_handler.process_batches(
                 self._batches(self.dataset_val or self.dataset_train,
@@ -331,13 +365,23 @@ class ModularTrainer:
         for epoch in range(1, epochs + 1):
             self.total_epoch += 1
             epoch_seed = (hparams.get("seed") or 0) + self.total_epoch
-            train_loss, per_loss = self.model_handler.process_batches(
-                self._batches(self.dataset_train, self.id_list_train,
-                              batch_size,
-                              shuffle=hparams.get("shuffle_train_set",
-                                                  True),
-                              seed=epoch_seed),
-                training=True, current_epoch=self.total_epoch)
+            try:
+                train_loss, per_loss = \
+                    self.model_handler.process_batches(
+                        self._batches(self.dataset_train,
+                                      self.id_list_train,
+                                      batch_size,
+                                      shuffle=hparams.get(
+                                          "shuffle_train_set", True),
+                                      seed=epoch_seed),
+                        training=True, current_epoch=self.total_epoch)
+            except ValueError as e:
+                if "NaN" not in str(e):
+                    raise
+                # Graceful NaN stop (ModularTrainer.py:458-470 role):
+                # fall through to the best-model reload / final save.
+                logger.error("Train loss is NaN, stopping: %s", e)
+                break
             all_loss_train.append(train_loss)
             self.record_train_loss(per_loss, self.total_epoch)
             logger.info("Epoch %d train loss: %f", self.total_epoch,
@@ -408,9 +452,6 @@ class ModularTrainer:
                 pass
         if hparams.get("save_final_model") and hparams.get("out_dir"):
             self._save(hparams, last=True)
-        if profiler_dir:
-            import jax
-            jax.profiler.stop_trace()
         logger.info("Training took %.1f s", time.time() - t_start)
         return all_loss, all_loss_train
 
@@ -472,12 +513,19 @@ class ModularTrainer:
                         if r.name in wanted
                         or any(n in wanted for n in r.output_names)]
             if filtered:
-                readers = [_without_match_length(r) for r in filtered]
+                readers = [_inference_clone(r) for r in filtered]
             dataset = DatareadersDataset(id_list, readers,
                                          random_select=False)
         else:
-            dataset = self.dataset_train or DatareadersDataset(
-                id_list, readers)
+            # Deterministic full-length samples: benchmark/gen_figure
+            # must not inherit the training dataset's random
+            # max_frames crops (compute_score compares frame-by-frame
+            # against full-length originals).
+            dataset = DatareadersDataset(
+                id_list,
+                [_inference_clone(r) if getattr(r, "max_frames", None)
+                 else r for r in readers],
+                random_select=False)
         results = {}
         for start in range(0, len(id_list), batch_size):
             chunk = list(id_list)[start:start + batch_size]
@@ -536,14 +584,29 @@ class ModularTrainer:
 
     def copy_synth(self, hparams, id_list):
         """Synthesise from original (ground-truth) features
-        (:1093-1119 role)."""
+        (:1093-1119 role): reader outputs are denormalised via their
+        reader and exposed under the PREDICTION keys of
+        post_processing_mapping, so gen_waveform sees the same shape
+        of sample a forward pass would produce."""
+        mapping = getattr(self, "post_processing_mapping", {}) or {}
+        dataset = DatareadersDataset(
+            id_list, [_inference_clone(r)
+                      for r in self.datareaders.values()],
+            random_select=False)
         results = {}
         for id_name in id_list:
-            sample, _ = (self.dataset_train or DatareadersDataset(
-                id_list, list(self.datareaders.values()))
-            ).get_id_name(id_name)
-            results[id_name] = self._postprocess_sample(
-                {k: v for k, v in sample.items()})
+            sample, _ = dataset.get_id_name(id_name)
+            out = {k: v for k, v in sample.items()}
+            for pred_key, reader_name in mapping.items():
+                reader = self.datareaders.get(reader_name)
+                if reader is None:
+                    continue
+                source = next((n for n in reader.output_names
+                               if n in sample), None)
+                if source is not None:
+                    out[pred_key] = reader.postprocess_sample(
+                        sample[source])
+            results[id_name] = out
         return self.gen_waveform(hparams, results)
 
     def gen_waveform(self, hparams, results):
@@ -588,6 +651,7 @@ class ModularTrainer:
         os.makedirs(out_dir, exist_ok=True)
         path = os.path.join(out_dir, "{}{}".format(
             id_name, hparams.get("gen_figure_ext", ".pdf")))
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         grid = 0
         with DataPlotter() as plotter:
             plotter.set_title("{} - {}".format(
@@ -875,10 +939,13 @@ class ModularTrainer:
             plotter.gen_plot()
             plotter.save_to_file(path)
         return path
-def _without_match_length(reader):
-    """Shallow copy of a reader with match_length cleared (partners may
-    be absent in input-only datasets)."""
+def _inference_clone(reader):
+    """Shallow copy of a reader prepared for inference datasets:
+    match_length cleared (partners may be absent) and max_frames
+    cleared (training crops must not truncate synthesis/benchmark
+    inputs)."""
     import copy
     clone = copy.copy(reader)
     clone.match_length = None
+    clone.max_frames = None
     return clone
