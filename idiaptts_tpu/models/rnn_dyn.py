@@ -179,6 +179,16 @@ class _BiFastLSTM(nn.Module):
                             xd.astype(jnp.bfloat16),
                             Wx.astype(jnp.bfloat16)
                             ).astype(jnp.float32) + b[:, None, None, :]
+
+        # Fused Pallas recurrence on single-device TPU (W_h resident in
+        # VMEM, both directions in one block-diagonal matmul per step;
+        # bit-exact vs the scan, see ops/pallas_lstm.py).  F must be a
+        # lane-tile multiple for the in-kernel gate slicing.
+        from idiaptts_tpu.ops.pallas_lstm import (bilstm_recurrence,
+                                                  use_pallas_recurrence)
+        if F % 128 == 0 and use_pallas_recurrence():
+            out = bilstm_recurrence(x_proj, Wh)  # (2, B, T, F)
+            return out[0], out[1]
         Wh_b = Wh.astype(jnp.bfloat16)
 
         def step(carry, xp_t):

@@ -1,0 +1,73 @@
+"""Parity tests for the fused Pallas BiLSTM recurrence kernel.
+
+On CPU the kernel runs in interpret mode; on a real TPU the identical
+kernel was additionally measured bit-exact vs the scan at the headline
+benchmark shape (B=9, T=2048, F=512).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from idiaptts_tpu.ops.pallas_lstm import (
+    _HAS_PALLAS, bilstm_recurrence_pallas, bilstm_recurrence_scan)
+
+pytestmark = pytest.mark.skipif(not _HAS_PALLAS,
+                                reason="pallas unavailable")
+
+
+def _rand_inputs(B, T, F, seed=0):
+    rs = np.random.RandomState(seed)
+    x_proj = jnp.asarray(
+        rs.randn(2, B, T, 4 * F).astype(np.float32) * 0.1)
+    wh = jnp.asarray(rs.randn(2, F, 4 * F).astype(np.float32) * 0.02)
+    return x_proj, wh
+
+
+@pytest.mark.parametrize("B,T,F", [
+    (3, 37, 128),     # unaligned batch + time
+    (1, 8, 256),      # minimal batch, one time block
+    (9, 96, 128),     # benchmark-batch rows, several blocks
+])
+def test_pallas_recurrence_matches_scan(B, T, F):
+    x_proj, wh = _rand_inputs(B, T, F)
+    out_scan = bilstm_recurrence_scan(x_proj, wh)
+    out_pallas = bilstm_recurrence_pallas(x_proj, wh, interpret=True)
+    assert out_pallas.shape == (2, B, T, F)
+    np.testing.assert_allclose(np.asarray(out_pallas),
+                               np.asarray(out_scan),
+                               rtol=0, atol=1e-6)
+
+
+def test_recurrence_state_carries_across_time_blocks():
+    """A constant input must drive the usual LSTM saturation curve —
+    detects a carry reset at time-block boundaries (TB=8)."""
+    B, T, F = 2, 40, 128
+    x_proj = jnp.ones((2, B, T, 4 * F), jnp.float32) * 0.5
+    wh = jnp.zeros((2, F, 4 * F), jnp.float32)
+    out = bilstm_recurrence_pallas(x_proj, wh, interpret=True)
+    out = np.asarray(out)
+    # With zero recurrent weights the cell integrates a constant:
+    # strictly increasing h across every block boundary.
+    assert np.all(np.diff(out[0, 0, :, 0]) > 0)
+
+
+def test_custom_vjp_matches_scan_gradients():
+    """bilstm_recurrence's backward is the scan VJP: compare against
+    jax.grad of the scan directly (forward difference is rounding)."""
+    from idiaptts_tpu.ops import pallas_lstm
+
+    B, T, F = 2, 16, 128
+    x_proj, wh = _rand_inputs(B, T, F, seed=1)
+
+    def loss_scan(xp, w):
+        return jnp.sum(bilstm_recurrence_scan(xp, w) ** 2)
+
+    g_ref = jax.grad(loss_scan, argnums=(0, 1))(x_proj, wh)
+    g_x, g_w = pallas_lstm._bilstm_bwd(
+        (x_proj, wh), 2.0 * bilstm_recurrence_scan(x_proj, wh))
+    np.testing.assert_allclose(np.asarray(g_x), np.asarray(g_ref[0]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_w), np.asarray(g_ref[1]),
+                               rtol=1e-5, atol=1e-5)
