@@ -175,20 +175,36 @@ class _BiFastLSTM(nn.Module):
                         (2, F, 4 * F))
         b = self.param("b", nn.initializers.zeros, (2, 4 * F))
         xd = jnp.stack([x, x_rev], axis=0)       # (2, B, T, D)
+
+        # Fused Pallas recurrence on single-device TPU (W_h resident in
+        # VMEM, both directions in one block-diagonal matmul per step;
+        # bit-exact vs the scan, see ops/pallas_lstm.py).  The input
+        # projection writes straight into the kernel's time-major
+        # padded-row layout, so no transpose pass sits between the MXU
+        # projection and the recurrence.
+        from idiaptts_tpu.ops.pallas_lstm import (
+            bilstm_recurrence_tmajor, pallas_viable,
+            use_pallas_recurrence)
+        if use_pallas_recurrence() and pallas_viable(B, F):
+            Bp = -(-B // 8) * 8      # sublane-align each direction
+            xd_p = jnp.pad(xd, ((0, 0), (0, Bp - B), (0, 0), (0, 0)))
+            xp_t = jnp.einsum("dbtc,dcg->tdbg",
+                              xd_p.astype(jnp.bfloat16),
+                              Wx.astype(jnp.bfloat16)
+                              ).astype(jnp.float32) \
+                + b[None, :, None, :]              # (T, 2, Bp, 4F)
+            xp_t = xp_t.reshape(T, 2 * Bp, 4 * F)
+            wh_cat = jnp.concatenate([Wh[0], Wh[1]], axis=0)
+            hs = bilstm_recurrence_tmajor(xp_t, wh_cat)
+            hs = hs.reshape(T, 2, Bp, F)
+            out_f = jnp.transpose(hs[:, 0, :B], (1, 0, 2))
+            out_b_rev = jnp.transpose(hs[:, 1, :B], (1, 0, 2))
+            return out_f, out_b_rev
+
         x_proj = jnp.einsum("dbtc,dcg->dbtg",
                             xd.astype(jnp.bfloat16),
                             Wx.astype(jnp.bfloat16)
                             ).astype(jnp.float32) + b[:, None, None, :]
-
-        # Fused Pallas recurrence on single-device TPU (W_h resident in
-        # VMEM, both directions in one block-diagonal matmul per step;
-        # bit-exact vs the scan, see ops/pallas_lstm.py).  F must be a
-        # lane-tile multiple for the in-kernel gate slicing.
-        from idiaptts_tpu.ops.pallas_lstm import (bilstm_recurrence,
-                                                  use_pallas_recurrence)
-        if F % 128 == 0 and use_pallas_recurrence():
-            out = bilstm_recurrence(x_proj, Wh)  # (2, B, T, F)
-            return out[0], out[1]
         Wh_b = Wh.astype(jnp.bfloat16)
 
         def step(carry, xp_t):

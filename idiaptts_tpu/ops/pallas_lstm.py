@@ -53,12 +53,14 @@ _TIME_BLOCK = 8
 _VMEM_BUDGET = 14 * 1024 * 1024  # leave headroom under the 16 MB cap
 
 
-def _pick_time_block(Bp2, F, G):
+def _pick_time_block(R, F, G):
     """Largest TB <= _TIME_BLOCK whose working set fits VMEM; 0 if even
-    TB=1 cannot fit (caller falls back to the scan)."""
+    TB=1 cannot fit (caller falls back to the scan).  R is rounded up
+    to the 8-row hardware tile for the estimate."""
+    R = int(np.ceil(max(R, 1) / 8) * 8)
     weights = 2 * F * G * 2                       # bf16, resident
-    carry = Bp2 * (2 * F + F) * 4                 # h + c scratch
-    per_tb = Bp2 * (G + F) * 4 * 2                # in+out, double-buffered
+    carry = R * (2 * F + F) * 4                   # h + c scratch
+    per_tb = R * (G + F) * 4 * 2                  # in+out, double-buffered
     budget = _VMEM_BUDGET - weights - carry
     if budget < per_tb:
         return 0
@@ -68,12 +70,16 @@ def _pick_time_block(Bp2, F, G):
 def _bilstm_kernel(xp_ref, wh_ref, out_ref, h_ref, c_ref):
     """One time-block of both LSTM directions.
 
-    xp_ref:  (TB, 2*B_pad, 4F) f32  projections; rows = [fwd B, bwd B]
-    wh_ref:  (2F, 4F) bf16          vstack(W_f, W_b), VMEM-resident
+    xp_ref:  (TB, 2*B_pad, 4F) f32  projections; rows = [fwd B_pad,
+                               bwd B_pad], each direction padded to a
+                               sublane multiple (unaligned direction
+                               boundaries force masked scatters on the
+                               critical path — measured 2.6x slower)
+    wh_ref:  (2F, 4F) bf16     vstack(W_f, W_b), VMEM-resident
     out_ref: (TB, 2*B_pad, F) f32   hidden states
-    h_ref:   (2*B_pad, 2F) f32      block-diagonal carry (see module
-                                    docstring); persists across grid
-    c_ref:   (2*B_pad, F) f32       cell carry; persists across grid
+    h_ref:   (2*B_pad, 2F) f32 block-diagonal carry (see module
+                               docstring); persists across grid
+    c_ref:   (2*B_pad, F) f32  cell carry; persists across grid
     """
     tb = xp_ref.shape[0]
     F = wh_ref.shape[0] // 2
@@ -108,6 +114,53 @@ def _bilstm_kernel(xp_ref, wh_ref, out_ref, h_ref, c_ref):
 
 
 @partial(jax.jit, static_argnames=("interpret",))
+def _recurrence_tmajor(xp_t, wh_cat, interpret=False):
+    """Kernel driver on time-major, row-padded projections.
+
+    xp_t: (T, 2*B_pad, 4F) float32, rows = [fwd B_pad, bwd B_pad] with
+        each direction padded to a sublane multiple; wh_cat: (2F, 4F)
+        = vstack(W_f, W_b).  Returns (T, 2*B_pad, F) hidden states.
+    """
+    T, R, G = xp_t.shape
+    F = G // 4
+    TB = _pick_time_block(R, F, G)
+    T_pad = int(np.ceil(T / TB) * TB)
+    xp_t = jnp.pad(xp_t, ((0, T_pad - T), (0, 0), (0, 0)))
+
+    out = pl.pallas_call(
+        _bilstm_kernel,
+        grid=(T_pad // TB,),
+        out_shape=jax.ShapeDtypeStruct((T_pad, R, F), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((TB, R, G), lambda i: (i, 0, 0)),
+            pl.BlockSpec((2 * F, G), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((TB, R, F), lambda i: (i, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((R, 2 * F), jnp.float32),
+            pltpu.VMEM((R, F), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(xp_t, wh_cat.astype(jnp.bfloat16))
+    return out[:T]
+
+
+def pallas_viable(B, F):
+    """True when the kernel beats the scan for this shape: lane-aligned
+    gates and a batch small enough that full time blocks fit VMEM
+    (large batches force tiny blocks AND give the XLA scan full MXU row
+    tiles anyway — measured faster there: batch 72 capacity 3476x scan
+    vs 3198x kernel)."""
+    if F % 128 != 0:
+        return False
+    Bp = int(np.ceil(max(B, 1) / 8) * 8)
+    G = 4 * F
+    return _pick_time_block(2 * Bp, F, G) >= _TIME_BLOCK
+
+
+@partial(jax.jit, static_argnames=("interpret",))
 def bilstm_recurrence_pallas(x_proj, wh, interpret=False):
     """Both-direction LSTM recurrence over precomputed projections.
 
@@ -119,41 +172,20 @@ def bilstm_recurrence_pallas(x_proj, wh, interpret=False):
     """
     _, B, T, G = x_proj.shape
     F = G // 4
-    Bp = int(np.ceil(max(B, 1) / 8) * 8)
-    TB = _pick_time_block(2 * Bp, F, G)
-    if TB < _TIME_BLOCK:
-        # Large batches force tiny time blocks (VMEM) AND give the XLA
-        # scan full MXU row tiles anyway — measured faster there
-        # (batch 72: scan 3476x vs kernel 3198x capacity xRT).
+    if not interpret and not pallas_viable(B, F):
         return bilstm_recurrence_scan(x_proj, wh)
-    T_pad = int(np.ceil(T / TB) * TB)
+    Bp = int(np.ceil(max(B, 1) / 8) * 8)
 
     # (T, 2*B_pad, 4F): time leading so each grid block is a clean
-    # (TB, 2*B_pad, 4F) slab with (sublane, lane) = (2*B_pad, 4F) tiles.
+    # (TB, 2*B_pad, 4F) slab with (sublane, lane) = (2*B_pad, 4F)
+    # tiles, each direction padded to the sublane multiple.
     xp = jnp.transpose(x_proj, (2, 0, 1, 3))
-    xp = jnp.pad(xp, ((0, T_pad - T), (0, 0), (0, Bp - B), (0, 0)))
-    xp = xp.reshape(T_pad, 2 * Bp, G)
+    xp = jnp.pad(xp, ((0, 0), (0, 0), (0, Bp - B), (0, 0)))
+    xp = xp.reshape(T, 2 * Bp, G)
     wh_cat = jnp.concatenate([wh[0], wh[1]], axis=0)   # (2F, 4F)
 
-    out = pl.pallas_call(
-        _bilstm_kernel,
-        grid=(T_pad // TB,),
-        out_shape=jax.ShapeDtypeStruct((T_pad, 2 * Bp, F), jnp.float32),
-        in_specs=[
-            pl.BlockSpec((TB, 2 * Bp, G), lambda i: (i, 0, 0)),
-            pl.BlockSpec((2 * F, G), lambda i: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((TB, 2 * Bp, F), lambda i: (i, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((2 * Bp, 2 * F), jnp.float32),
-            pltpu.VMEM((2 * Bp, F), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
-        interpret=interpret,
-    )(xp, wh_cat.astype(jnp.bfloat16))
-
-    out = out[:T].reshape(T, 2, Bp, F)[:, :, :B]
+    out = _recurrence_tmajor(xp, wh_cat, interpret=interpret)
+    out = out.reshape(T, 2, Bp, F)[:, :, :B]
     return jnp.transpose(out, (1, 2, 0, 3))
 
 
@@ -179,26 +211,41 @@ def bilstm_recurrence_scan(x_proj, wh, unroll=16):
     return jnp.moveaxis(hs, 0, 2)
 
 
+def _scan_tmajor(xp_t, wh_cat):
+    """Scan-path equivalent of ``_recurrence_tmajor`` (used as the VJP
+    backward and as the correctness oracle)."""
+    T, R, G = xp_t.shape
+    F = G // 4
+    Bp = R // 2
+    xp = jnp.transpose(xp_t.reshape(T, 2, Bp, G), (1, 2, 0, 3))
+    out = bilstm_recurrence_scan(xp, wh_cat.reshape(2, F, G))
+    return jnp.transpose(out, (2, 0, 1, 3)).reshape(T, R, F)
+
+
 @jax.custom_vjp
-def bilstm_recurrence(x_proj, wh):
-    """Differentiable fused recurrence: Pallas kernel forward, scan VJP
-    backward (the backward chain is the same sequential recurrence; the
-    scan's VJP recomputes activations and differentiates — identical
-    gradients to the pure-scan path at forward-recompute cost)."""
-    return bilstm_recurrence_pallas(x_proj, wh)
+def bilstm_recurrence_tmajor(xp_t, wh_cat):
+    """Differentiable fused recurrence on time-major projections:
+    Pallas kernel forward, scan VJP backward (the backward chain is the
+    same sequential recurrence; the scan's VJP recomputes activations
+    and differentiates — identical gradients to the pure-scan path at
+    forward-recompute cost).
+
+    xp_t: (T, 2*B_pad, 4F) f32; wh_cat: (2F, 4F).  -> (T, 2*B_pad, F).
+    """
+    return _recurrence_tmajor(xp_t, wh_cat)
 
 
-def _bilstm_fwd(x_proj, wh):
-    return bilstm_recurrence_pallas(x_proj, wh), (x_proj, wh)
+def _bilstm_fwd(xp_t, wh_cat):
+    return _recurrence_tmajor(xp_t, wh_cat), (xp_t, wh_cat)
 
 
 def _bilstm_bwd(res, g):
-    x_proj, wh = res
-    _, vjp = jax.vjp(bilstm_recurrence_scan, x_proj, wh)
+    xp_t, wh_cat = res
+    _, vjp = jax.vjp(_scan_tmajor, xp_t, wh_cat)
     return vjp(g)
 
 
-bilstm_recurrence.defvjp(_bilstm_fwd, _bilstm_bwd)
+bilstm_recurrence_tmajor.defvjp(_bilstm_fwd, _bilstm_bwd)
 
 
 def use_pallas_recurrence():

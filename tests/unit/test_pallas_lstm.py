@@ -54,19 +54,23 @@ def test_recurrence_state_carries_across_time_blocks():
 
 
 def test_custom_vjp_matches_scan_gradients():
-    """bilstm_recurrence's backward is the scan VJP: compare against
-    jax.grad of the scan directly (forward difference is rounding)."""
+    """bilstm_recurrence_tmajor's backward is the scan VJP: compare
+    against jax.grad of the equivalent scan directly."""
     from idiaptts_tpu.ops import pallas_lstm
 
-    B, T, F = 2, 16, 128
-    x_proj, wh = _rand_inputs(B, T, F, seed=1)
+    Bp, T, F = 8, 16, 128
+    rs = np.random.RandomState(1)
+    xp_t = jnp.asarray(
+        rs.randn(T, 2 * Bp, 4 * F).astype(np.float32) * 0.1)
+    wh_cat = jnp.asarray(
+        rs.randn(2 * F, 4 * F).astype(np.float32) * 0.02)
 
     def loss_scan(xp, w):
-        return jnp.sum(bilstm_recurrence_scan(xp, w) ** 2)
+        return jnp.sum(pallas_lstm._scan_tmajor(xp, w) ** 2)
 
-    g_ref = jax.grad(loss_scan, argnums=(0, 1))(x_proj, wh)
+    g_ref = jax.grad(loss_scan, argnums=(0, 1))(xp_t, wh_cat)
     g_x, g_w = pallas_lstm._bilstm_bwd(
-        (x_proj, wh), 2.0 * bilstm_recurrence_scan(x_proj, wh))
+        (xp_t, wh_cat), 2.0 * pallas_lstm._scan_tmajor(xp_t, wh_cat))
     np.testing.assert_allclose(np.asarray(g_x), np.asarray(g_ref[0]),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(g_w), np.asarray(g_ref[1]),
