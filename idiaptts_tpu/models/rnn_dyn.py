@@ -176,26 +176,34 @@ class _BiFastLSTM(nn.Module):
         b = self.param("b", nn.initializers.zeros, (2, 4 * F))
         xd = jnp.stack([x, x_rev], axis=0)       # (2, B, T, D)
 
-        # Fused Pallas recurrence on single-device TPU (W_h resident in
-        # VMEM, both directions in one block-diagonal matmul per step;
-        # bit-exact vs the scan, see ops/pallas_lstm.py).  The input
-        # projection writes straight into the kernel's time-major
-        # padded-row layout, so no transpose pass sits between the MXU
-        # projection and the recurrence.
+        # Fused Pallas BiLSTM layer on single-device TPU: the input
+        # projection runs INSIDE the kernel (one 128-row MXU matmul per
+        # direction per time block) so the (T, rows, 4F) f32 projection
+        # tensor never exists in HBM; W_x/W_h stay VMEM-resident and
+        # both directions share one block-diagonal matmul per step
+        # (ops/pallas_lstm.py).  Falls back to einsum + recurrence-only
+        # kernel, then to the pure scan.
         from idiaptts_tpu.ops.pallas_lstm import (
-            bilstm_recurrence_tmajor, pallas_viable,
-            use_pallas_recurrence)
-        if use_pallas_recurrence() and pallas_viable(B, F):
+            bilstm_layer_tmajor, bilstm_recurrence_tmajor, layer_viable,
+            pallas_viable, use_pallas_recurrence)
+        if use_pallas_recurrence() and (layer_viable(B, D, F)
+                                        or pallas_viable(B, F)):
             Bp = -(-B // 8) * 8      # sublane-align each direction
             xd_p = jnp.pad(xd, ((0, 0), (0, Bp - B), (0, 0), (0, 0)))
-            xp_t = jnp.einsum("dbtc,dcg->tdbg",
-                              xd_p.astype(jnp.bfloat16),
-                              Wx.astype(jnp.bfloat16)
-                              ).astype(jnp.float32) \
-                + b[None, :, None, :]              # (T, 2, Bp, 4F)
-            xp_t = xp_t.reshape(T, 2 * Bp, 4 * F)
             wh_cat = jnp.concatenate([Wh[0], Wh[1]], axis=0)
-            hs = bilstm_recurrence_tmajor(xp_t, wh_cat)
+            if layer_viable(B, D, F):
+                xin_t = jnp.transpose(xd_p.astype(jnp.bfloat16),
+                                      (2, 0, 1, 3))  # (T, 2, Bp, D)
+                xin_t = xin_t.reshape(T, 2 * Bp, D)
+                hs = bilstm_layer_tmajor(xin_t, Wx, wh_cat, b)
+            else:
+                xp_t = jnp.einsum("dbtc,dcg->tdbg",
+                                  xd_p.astype(jnp.bfloat16),
+                                  Wx.astype(jnp.bfloat16)
+                                  ).astype(jnp.float32) \
+                    + b[None, :, None, :]          # (T, 2, Bp, 4F)
+                xp_t = xp_t.reshape(T, 2 * Bp, 4 * F)
+                hs = bilstm_recurrence_tmajor(xp_t, wh_cat)
             hs = hs.reshape(T, 2, Bp, F)
             out_f = jnp.transpose(hs[:, 0, :B], (1, 0, 2))
             out_b_rev = jnp.transpose(hs[:, 1, :B], (1, 0, 2))

@@ -50,7 +50,7 @@ except ImportError:  # pragma: no cover
 # weights and carry fit the ~16 MB scoped-VMEM limit (TB=32 already
 # overflows it at the benchmark shape B=9/F=512).
 _TIME_BLOCK = 8
-_VMEM_BUDGET = 14 * 1024 * 1024  # leave headroom under the 16 MB cap
+_VMEM_BUDGET = int(15.5 * 1024 * 1024)
 
 
 def _pick_time_block(R, F, G):
@@ -257,3 +257,180 @@ def use_pallas_recurrence():
     the scan formulation, which XLA shards cleanly."""
     return (_HAS_PALLAS and jax.default_backend() not in ("cpu",)
             and jax.device_count() == 1)
+
+
+# ---------------------------------------------------------------------
+# Full-layer kernel: input projection fused with the recurrence.
+#
+# Materialising the projections (T, 2*B_pad, 4F) in f32 costs two HBM
+# round trips of ~0.5 GB at the headline shape (einsum write + kernel
+# read), plus the transpose XLA emits to reach the time-major layout.
+# Fusing the projection into the kernel streams the raw bf16 inputs
+# instead (4x smaller) and keeps the projections in a VMEM scratch that
+# never leaves the chip.
+# ---------------------------------------------------------------------
+
+
+def _bilstm_layer_kernel(xin_ref, wx_ref, wh_ref, b_ref, out_ref,
+                         xp_ref, h_ref, c_ref):
+    """One time-block: project inputs for the block (one 128-row MXU
+    matmul per direction), then run the recurrence steps.
+
+    xin_ref: (TB, 2*B_pad, D) bf16  raw inputs; rows = [fwd, bwd]
+    wx_ref:  (2, D, 4F) bf16        input projections, VMEM-resident
+    wh_ref:  (2F, 4F) bf16          vstack(W_f, W_b), VMEM-resident
+    b_ref:   (2, 4F) f32            biases
+    out_ref: (TB, 2*B_pad, F) f32   hidden states
+    xp_ref:  (TB, 2*B_pad, 4F) f32  scratch: this block's projections
+    h_ref:   (2*B_pad, 2F) f32      block-diagonal carry
+    c_ref:   (2*B_pad, F) f32       cell carry
+    """
+    tb = xin_ref.shape[0]
+    D = xin_ref.shape[2]
+    F = wh_ref.shape[0] // 2
+    Bp2 = h_ref.shape[0]
+    Bp = Bp2 // 2
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        h_ref[...] = jnp.zeros_like(h_ref)
+        c_ref[...] = jnp.zeros_like(c_ref)
+
+    xv = xin_ref[...]
+    for d in range(2):
+        xd = xv[:, d * Bp:(d + 1) * Bp, :].reshape(tb * Bp, D)
+        m = jnp.dot(xd, wx_ref[d],
+                    preferred_element_type=jnp.float32)
+        # The scan path's einsum emits a bf16 result (f32 MXU
+        # accumulation, bf16 output) before upcasting — round the same
+        # way so kernel and scan are bit-identical.
+        m = m.astype(jnp.bfloat16).astype(jnp.float32)
+        xp_ref[:, d * Bp:(d + 1) * Bp, :] = \
+            m.reshape(tb, Bp, 4 * F) + b_ref[d]
+
+    def step(t, _):
+        rec = jnp.dot(h_ref[...].astype(jnp.bfloat16), wh_ref[...],
+                      preferred_element_type=jnp.float32)
+        gates = xp_ref[t] + rec
+        i_g = gates[:, 0 * F:1 * F]
+        f_g = gates[:, 1 * F:2 * F]
+        g_g = gates[:, 2 * F:3 * F]
+        o_g = gates[:, 3 * F:4 * F]
+        c = (jax.nn.sigmoid(f_g + 1.0) * c_ref[...]
+             + jax.nn.sigmoid(i_g) * jnp.tanh(g_g))
+        h = jax.nn.sigmoid(o_g) * jnp.tanh(c)
+        c_ref[...] = c
+        h_ref[0:Bp, 0:F] = h[0:Bp]
+        h_ref[Bp:Bp2, F:2 * F] = h[Bp:Bp2]
+        out_ref[t] = h
+        return 0
+
+    jax.lax.fori_loop(0, tb, step, 0, unroll=True)
+
+
+def _pick_layer_time_block(R, D, F):
+    """Largest TB <= _TIME_BLOCK for the fused-projection kernel."""
+    R = int(np.ceil(max(R, 1) / 8) * 8)
+    Dp = int(np.ceil(max(D, 1) / 8) * 8)
+    G = 4 * F
+    weights = 2 * Dp * G * 2 + 2 * F * G * 2 + 2 * G * 4
+    carry = R * (2 * F + F) * 4
+    # per-TB: bf16 in + f32 out, double-buffered, + f32 xp scratch
+    per_tb = R * (Dp * 2 + F * 4) * 2 + R * G * 4
+    budget = _VMEM_BUDGET - weights - carry
+    if budget < per_tb:
+        return 0
+    return int(min(_TIME_BLOCK, budget // per_tb))
+
+
+def layer_viable(B, D, F):
+    """True when the fused-projection layer kernel fits VMEM with a
+    worthwhile time block.  Unlike ``pallas_viable``, small blocks here
+    usually mean the RESIDENT WEIGHTS (W_x grows with D) squeezed the
+    budget, not a big batch — and the fusion still wins: measured
+    1.45x vs the scan layer even at TB=3 (B=9, D=1024, F=512)."""
+    if F % 128 != 0:
+        return False
+    Bp = int(np.ceil(max(B, 1) / 8) * 8)
+    if Bp > 32:      # large batches: full MXU row tiles favour the scan
+        return False
+    return _pick_layer_time_block(2 * Bp, D, F) >= 3
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _layer_tmajor(xin_t, wx, wh_cat, b, interpret=False):
+    """Fused projection+recurrence driver.
+
+    xin_t: (T, 2*B_pad, D) bfloat16, rows = [fwd B_pad, bwd B_pad]
+        (direction 1 pre-reversed); wx: (2, D, 4F); wh_cat: (2F, 4F);
+    b: (2, 4F).  Returns (T, 2*B_pad, F) float32 hidden states.
+    """
+    T, R, D = xin_t.shape
+    F = wh_cat.shape[0] // 2
+    TB = _pick_layer_time_block(R, D, F)
+    T_pad = int(np.ceil(T / TB) * TB)
+    xin_t = jnp.pad(xin_t, ((0, T_pad - T), (0, 0), (0, 0)))
+
+    out = pl.pallas_call(
+        _bilstm_layer_kernel,
+        grid=(T_pad // TB,),
+        out_shape=jax.ShapeDtypeStruct((T_pad, R, F), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((TB, R, D), lambda i: (i, 0, 0)),
+            pl.BlockSpec((2, D, 4 * F), lambda i: (0, 0, 0)),
+            pl.BlockSpec((2 * F, 4 * F), lambda i: (0, 0)),
+            pl.BlockSpec((2, 4 * F), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((TB, R, F), lambda i: (i, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((TB, R, 4 * F), jnp.float32),
+            pltpu.VMEM((R, 2 * F), jnp.float32),
+            pltpu.VMEM((R, F), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(xin_t, wx.astype(jnp.bfloat16), wh_cat.astype(jnp.bfloat16),
+      b.astype(jnp.float32))
+    return out[:T]
+
+
+def _scan_layer_tmajor(xin_t, wx, wh_cat, b):
+    """Scan-path equivalent of ``_layer_tmajor`` (VJP backward and
+    correctness oracle): same bf16 projection + bias + recurrence.
+
+    ``preferred_element_type=f32`` + explicit bf16 round pins the
+    TPU MXU semantics (f32 accumulation, bf16 result) so the oracle is
+    platform-stable — a plain bf16 einsum on XLA CPU accumulates in
+    bf16, which neither the TPU scan nor the kernel does."""
+    T, R, D = xin_t.shape
+    F = wh_cat.shape[0] // 2
+    Bp = R // 2
+    xd = jnp.transpose(xin_t.reshape(T, 2, Bp, D), (1, 2, 0, 3))
+    x_proj = jnp.einsum("dbtc,dcg->dbtg", xd.astype(jnp.bfloat16),
+                        wx.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32
+                        ).astype(jnp.bfloat16).astype(jnp.float32) \
+        + b[:, None, None, :]
+    out = bilstm_recurrence_scan(x_proj, wh_cat.reshape(2, F, 4 * F))
+    return jnp.transpose(out, (2, 0, 1, 3)).reshape(T, R, F)
+
+
+@jax.custom_vjp
+def bilstm_layer_tmajor(xin_t, wx, wh_cat, b):
+    """Differentiable fused BiLSTM layer (projection + recurrence):
+    Pallas forward, scan VJP backward (identical gradients to the
+    scan path at forward-recompute cost)."""
+    return _layer_tmajor(xin_t, wx, wh_cat, b)
+
+
+def _layer_fwd(xin_t, wx, wh_cat, b):
+    return _layer_tmajor(xin_t, wx, wh_cat, b), (xin_t, wx, wh_cat, b)
+
+
+def _layer_bwd(res, g):
+    _, vjp = jax.vjp(_scan_layer_tmajor, *res)
+    return vjp(g)
+
+
+bilstm_layer_tmajor.defvjp(_layer_fwd, _layer_bwd)

@@ -1,21 +1,28 @@
 """Test configuration: force an 8-device virtual CPU platform so sharding
 paths are exercised without TPU hardware (driver contract; see repo
-instructions)."""
+instructions).
+
+Set ``IDIAPTTS_TEST_PLATFORM=tpu`` (or ``axon``) to run the suite on
+real hardware instead — this also enables the Pallas fast paths that
+are scan-fallbacks on CPU (e.g. the fused BiLSTM recurrence), so a
+hardware run additionally covers those kernels at full quality."""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+_platform = os.environ.get("IDIAPTTS_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
+if _platform == "cpu":
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
 
 # jax may already be imported by a pytest plugin, in which case it captured
 # JAX_PLATFORMS/XLA_FLAGS at import time — override through the config API
 # (must happen before the backend is initialised).
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_platforms", _platform)
 
 import pytest  # noqa: E402
 

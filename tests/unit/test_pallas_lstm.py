@@ -53,6 +53,58 @@ def test_recurrence_state_carries_across_time_blocks():
     assert np.all(np.diff(out[0, 0, :, 0]) > 0)
 
 
+@pytest.mark.parametrize("B,T,D,F", [
+    (2, 19, 96, 128),     # unaligned time + input dim
+    (8, 16, 256, 128),    # aligned
+])
+def test_fused_layer_matches_scan(B, T, D, F):
+    """Projection-fused layer kernel vs the scan-equivalent layer."""
+    from idiaptts_tpu.ops import pallas_lstm
+
+    rs = np.random.RandomState(3)
+    Bp = -(-B // 8) * 8
+    xin = jnp.asarray(
+        rs.randn(T, 2 * Bp, D).astype(np.float32) * 0.3
+    ).astype(jnp.bfloat16)
+    wx = jnp.asarray(rs.randn(2, D, 4 * F).astype(np.float32) * 0.05)
+    wh_cat = jnp.asarray(
+        rs.randn(2 * F, 4 * F).astype(np.float32) * 0.02)
+    b = jnp.asarray(rs.randn(2, 4 * F).astype(np.float32) * 0.1)
+    out_k = pallas_lstm._layer_tmajor(xin, wx, wh_cat, b,
+                                      interpret=True)
+    out_s = pallas_lstm._scan_layer_tmajor(xin, wx, wh_cat, b)
+    assert out_k.shape == (T, 2 * Bp, F)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_s),
+                               rtol=0, atol=2e-6)
+
+
+def test_fused_layer_vjp_matches_scan_gradients():
+    from idiaptts_tpu.ops import pallas_lstm
+
+    Bp, T, D, F = 8, 12, 128, 128
+    rs = np.random.RandomState(4)
+    xin = jnp.asarray(
+        rs.randn(T, 2 * Bp, D).astype(np.float32) * 0.3
+    ).astype(jnp.bfloat16)
+    wx = jnp.asarray(rs.randn(2, D, 4 * F).astype(np.float32) * 0.05)
+    wh_cat = jnp.asarray(
+        rs.randn(2 * F, 4 * F).astype(np.float32) * 0.02)
+    b = jnp.asarray(rs.randn(2, 4 * F).astype(np.float32) * 0.1)
+
+    def loss_scan(*args):
+        return jnp.sum(pallas_lstm._scan_layer_tmajor(*args) ** 2)
+
+    g_ref = jax.grad(loss_scan, argnums=(0, 1, 2, 3))(xin, wx, wh_cat,
+                                                      b)
+    g = pallas_lstm._layer_bwd(
+        (xin, wx, wh_cat, b),
+        2.0 * pallas_lstm._scan_layer_tmajor(xin, wx, wh_cat, b))
+    for got, ref in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_custom_vjp_matches_scan_gradients():
     """bilstm_recurrence_tmajor's backward is the scan VJP: compare
     against jax.grad of the equivalent scan directly."""
