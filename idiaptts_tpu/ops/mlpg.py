@@ -275,20 +275,36 @@ def mlpg_solve(features, factors, tau, feature_dim):
         for k in (-1, 0, 1):
             b = b + coeff[k + 1] * shift(btau[..., w, :], k)
 
+    def _use_pallas(L):
+        from idiaptts_tpu.ops.pallas_mlpg import solve_banded_viable
+        return (jax.default_backend() not in ("cpu",)
+                and jax.device_count() == 1
+                and solve_banded_viable(T, L))
+
     def solve_one(b_single):
+        if _use_pallas(b_single.shape[-1]):
+            from idiaptts_tpu.ops.pallas_mlpg import solve_banded_pallas
+            return solve_banded_pallas(b_single, l0, l1, l2)
         return _solve_banded(l0, l1, l2, b_single)
 
     if b.ndim == 2:
         return solve_one(b)
     flat = b.reshape(-1, T, feature_dim)
     B = flat.shape[0]
-    # One scan with batch folded into the vector dim (fewer sequential
+    # One solve with batch folded into the vector dim (fewer sequential
     # launches than vmap-of-scans); layout (T, B*D) matches tiling.
+    # On a single-device TPU both substitutions run in one VMEM-resident
+    # Pallas kernel (per-step work is a couple of vector registers — the
+    # lax.scan path pays XLA loop overhead per step instead).
     moved = jnp.moveaxis(flat, 0, 1).reshape(T, B * feature_dim)
     l0_t = jnp.tile(l0, (1, B))
     l1_t = jnp.tile(l1, (1, B))
     l2_t = jnp.tile(l2, (1, B))
-    solved = _solve_banded(l0_t, l1_t, l2_t, moved)
+    if _use_pallas(B * feature_dim):
+        from idiaptts_tpu.ops.pallas_mlpg import solve_banded_pallas
+        solved = solve_banded_pallas(moved, l0_t, l1_t, l2_t)
+    else:
+        solved = _solve_banded(l0_t, l1_t, l2_t, moved)
     return jnp.moveaxis(solved.reshape(T, B, feature_dim), 1,
                         0).reshape(b.shape)
 

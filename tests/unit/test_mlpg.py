@@ -113,3 +113,25 @@ def test_mlpg_pallas_kernel_cpu_interpret():
     out = np.asarray(mlpg_pallas(jnp.asarray(features),
                                  jnp.asarray(var), 4))
     np.testing.assert_allclose(out, ref, atol=5e-3)
+
+
+def test_solve_banded_pallas_matches_scan():
+    """Substitution-only Pallas kernel vs the scan solve (interpret on
+    CPU), on a factor-once batched problem."""
+    import jax.numpy as jnp
+    from idiaptts_tpu.ops.mlpg import (_solve_banded, mlpg_factorise)
+    from idiaptts_tpu.ops.pallas_mlpg import solve_banded_pallas
+
+    T, D, B = 50, 4, 3
+    rs = np.random.RandomState(7)
+    var = np.abs(rs.randn(3 * D)).astype(np.float32) + 0.1
+    factors, _ = mlpg_factorise(jnp.asarray(var), D, T)
+    l0, l1, l2 = factors[0], factors[1], factors[2]
+    b = jnp.asarray(rs.randn(T, B * D).astype(np.float32))
+    l0_t = jnp.tile(l0, (1, B))
+    l1_t = jnp.tile(l1, (1, B))
+    l2_t = jnp.tile(l2, (1, B))
+    ref = _solve_banded(l0_t, l1_t, l2_t, b)
+    out = solve_banded_pallas(b, l0_t, l1_t, l2_t, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
