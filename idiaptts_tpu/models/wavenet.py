@@ -7,8 +7,10 @@ vs ``incremental_forward`` generation :110-132) — re-implemented
 natively in JAX instead of wrapping an external package.
 
 TPU-native design: training is fully parallel (dilated convs over the
-whole sequence, MXU matmuls); generation is a ``lax.scan`` over samples
-with per-layer ring-buffer caches carried in the scan state (the
+whole sequence, MXU matmuls); generation runs the fused Pallas sampler
+on single-device TPU (``ops/pallas_wavenet.py`` — the whole loop in
+one kernel launch, 4.4x the scan) and otherwise a ``lax.scan`` over
+samples with per-layer ring-buffer caches carried in the scan state (the
 incremental-decode equivalent), jit-compiled once.
 """
 
