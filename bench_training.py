@@ -107,7 +107,45 @@ def main():
                       "unit": "frames/sec per chip",
                       "vs_baseline": None}))
 
+    _bench_wavenet_sampling()
     _bench_reference_surface_synth()
+
+
+def _bench_wavenet_sampling():
+    """Autoregressive WaveNet generation through the public
+    ``generate()`` (fused Pallas sampler on TPU, scan elsewhere)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from idiaptts_tpu.models.wavenet import (WaveNet, WaveNetWrapper,
+                                             generate)
+
+    cfg = WaveNetWrapper.Config(input_names=("cond",),
+                                output_names=("logits",))
+    net = WaveNet(out_channels=cfg.out_channels,
+                  residual_channels=cfg.residual_channels,
+                  gate_channels=cfg.gate_channels,
+                  skip_channels=cfg.skip_channels,
+                  num_layers=cfg.num_layers, num_stacks=cfg.num_stacks)
+    B, T, C = 4, 16000, 63
+    cond = jnp.asarray(
+        np.random.RandomState(0).randn(B, T, C).astype(np.float32)
+        * 0.1)
+    params = {"params": {"wavenet": net.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((B, T), jnp.int32), cond)["params"]}}
+    generate(params, cfg, cond, rng=jax.random.PRNGKey(1))  # warmup
+    runs = 3
+    t0 = time.time()
+    for i in range(runs):
+        generate(params, cfg, cond, rng=jax.random.PRNGKey(2 + i))
+    elapsed = (time.time() - t0) / runs
+    print(json.dumps({"metric": "wavenet vocoder sampling",
+                      "value": round(B * T / 16000.0 / elapsed, 1),
+                      "unit": "x realtime per chip (B=4, 16kHz)",
+                      "vs_baseline": None}))
 
 
 def _bench_reference_surface_synth():
