@@ -276,9 +276,11 @@ def mlpg_solve(features, factors, tau, feature_dim):
             b = b + coeff[k + 1] * shift(btau[..., w, :], k)
 
     def _use_pallas(L):
+        from idiaptts_tpu.ops import pallas_ctx
         from idiaptts_tpu.ops.pallas_mlpg import solve_banded_viable
         return (jax.default_backend() not in ("cpu",)
-                and jax.device_count() == 1
+                and (jax.device_count() == 1
+                     or pallas_ctx.forced_single_device())
                 and solve_banded_viable(T, L))
 
     def solve_one(b_single):

@@ -253,10 +253,16 @@ def use_pallas_recurrence():
 
     Elsewhere the scan runs: the CPU interpreter is for parity tests,
     not speed, and under a multi-device GSPMD mesh a ``pallas_call``
-    has no partitioning rule — the data-parallel trainer/server keeps
-    the scan formulation, which XLA shards cleanly."""
+    has no partitioning rule — the data-parallel trainer keeps the
+    scan formulation, which XLA shards cleanly.  Inside a ``shard_map``
+    each per-device program may opt back in via
+    ``pallas_ctx.force_single_device`` (the sharded serving pipeline
+    does)."""
+    from idiaptts_tpu.ops import pallas_ctx
+
     return (_HAS_PALLAS and jax.default_backend() not in ("cpu",)
-            and jax.device_count() == 1)
+            and (jax.device_count() == 1
+                 or pallas_ctx.forced_single_device()))
 
 
 # ---------------------------------------------------------------------

@@ -374,7 +374,10 @@ def generate_pallas(wrapper_params, dilations, config, cond, seed=0,
 
 
 def use_pallas_sampler():
-    """Fused sampler on real single-device TPU only (same rationale as
-    pallas_lstm.use_pallas_recurrence)."""
+    """Fused sampler on real single-device TPU only (same rationale
+    and shard_map opt-in as pallas_lstm.use_pallas_recurrence)."""
+    from idiaptts_tpu.ops import pallas_ctx
+
     return (_HAS_PALLAS and jax.default_backend() not in ("cpu",)
-            and jax.device_count() == 1)
+            and (jax.device_count() == 1
+                 or pallas_ctx.forced_single_device()))

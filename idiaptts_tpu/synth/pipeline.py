@@ -162,11 +162,23 @@ class FusedAcousticPipeline:
 
         self.mesh = mesh
         self._batch_sharding = None
+        self._run_shmap = None
         if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
-            self._batch_sharding = NamedSharding(
-                mesh, PartitionSpec(data_axis))
-            self._replicated = NamedSharding(mesh, PartitionSpec())
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self._batch_sharding = NamedSharding(mesh, P(data_axis))
+            self._replicated = NamedSharding(mesh, P())
+            # shard_map variant: the forward path has NO collectives
+            # (each chip synthesises its batch shard), so running the
+            # per-device program explicitly is semantically identical
+            # to the GSPMD jit — and, unlike GSPMD, the per-device
+            # trace can use the Pallas fast paths (fused BiLSTM layer
+            # + MLPG solve), which have no partitioning rule.
+            from jax.experimental.shard_map import shard_map
+            self._run_shmap = jax.jit(shard_map(
+                run, mesh=mesh,
+                in_specs=(P(), P(data_axis), P(data_axis),
+                          P(data_axis), P(), P(), P()),
+                out_specs=P(data_axis), check_rep=False))
         self._run = jax.jit(run)
 
     def stage_jits(self):
@@ -231,9 +243,18 @@ class FusedAcousticPipeline:
             f0_cont_d = put(f0_cont_d, self._batch_sharding)
             params = self._jax.tree_util.tree_map(
                 lambda x: put(x, self._replicated), params)
-        wavs = self._run(params, batch_d,
-                         jnp.asarray(lengths), f0_cont_d,
-                         factors, tau, key)
+            from idiaptts_tpu.ops import pallas_ctx
+            with pallas_ctx.force_single_device():
+                # The context marks the (lazy, first-call) trace as
+                # per-device so the kernel gates engage inside the
+                # shard_map despite jax.device_count() > 1.
+                wavs = self._run_shmap(params, batch_d,
+                                       jnp.asarray(lengths),
+                                       f0_cont_d, factors, tau, key)
+        else:
+            wavs = self._run(params, batch_d,
+                             jnp.asarray(lengths), f0_cont_d,
+                             factors, tau, key)
         if device_output:
             return wavs
         wavs = np.asarray(wavs)
