@@ -13,6 +13,10 @@ Stages (Kaldi-style ``--stage N`` resume):
      duration -> acoustic -> WORLD vocoder)
   7  online serving demo: concurrent requests through
      trainer.serve()'s batching SynthesisServer
+  8  (opt-in: --stop_stage 8) train a WaveNet neural vocoder on the
+     corpus, export a standalone vocoder bundle, and neural-vocode a
+     test utterance (the fused Pallas sampler drives generation on
+     TPU; autoregressive generation is slow on CPU)
 
 Usage:
   python egs/ljspeech_demo/run.py --work_dir /tmp/ljdemo [--stage 1]
@@ -258,6 +262,58 @@ def stage7_serve(args, ids):
     return stats
 
 
+def stage8_wavenet(args, ids):
+    """WaveNet neural vocoder: train on (WORLD cond, waveform) pairs,
+    export a standalone bundle, neural-vocode one test utterance."""
+    import numpy as np
+
+    from idiaptts_tpu.models.wavenet import WaveNetWrapper
+    from idiaptts_tpu.ops.audio_io import get_raw
+    from idiaptts_tpu.train.wavenet_trainer import WaveNetVocoderTrainer
+
+    hparams = WaveNetVocoderTrainer.create_hparams()
+    hparams.out_dir = os.path.join(args.work_dir, "wavenet")
+    hparams.model_name = "wavenet_voc"
+    hparams.epochs = args.epochs
+    hparams.batch_size_train = 2
+    hparams.learning_rate = 1e-3
+    hparams.seed = 1
+    hparams.test_set_perc = 0.0
+    hparams.val_set_perc = 0.25
+    hparams.use_best_as_final_model = False
+    hparams.max_input_train_sec = 0.4
+    hparams.num_coded_sps_cond = NUM_SPS
+    hparams.num_coded_sps = NUM_SPS
+    hparams.load_newest_checkpoint = True
+    hparams.synth_dir = os.path.join(args.work_dir, "wavenet_synth")
+    trainer = WaveNetVocoderTrainer(
+        hparams, ids,
+        dir_world_features=os.path.join(args.work_dir, "WORLD"),
+        dir_audio=os.path.join(args.fixtures, "database", "wav"))
+    _log_resume_state(hparams, "stage 8 (wavenet)")
+    if args.small_models:
+        cfg = WaveNetWrapper.Config(
+            input_names=("cond_features",),
+            output_names=("pred_logits",),
+            target_name="target_quantised", out_channels=256,
+            residual_channels=16, gate_channels=32, skip_channels=16,
+            num_layers=4, num_stacks=2)
+        trainer.init(hparams, model_config=cfg)
+    else:
+        trainer.init(hparams)
+    trainer.train(hparams)
+    bundle = trainer.save_for_vocoding(
+        hparams, os.path.join(args.work_dir, "wavenet_bundle",
+                              "wavenet_voc"))
+    logger.info("vocoder bundle exported to %s", bundle)
+    paths = trainer.synth(hparams, ids[:1])
+    for id_name, path in paths.items():
+        raw, _ = get_raw(path)
+        logger.info("neural-vocoded %s (rms %.4f)", path,
+                    float(np.sqrt((raw ** 2).mean())))
+    return paths
+
+
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--work_dir", required=True)
@@ -282,7 +338,7 @@ def main():
     recipe_common.run_stages(
         {1: stage1_world, 2: stage2_labels, 3: stage3_duration,
          4: stage4_acoustic, 5: stage5_benchmark, 6: stage6_synth,
-         7: stage7_serve},
+         7: stage7_serve, 8: stage8_wavenet},
         args, ids)
 
 

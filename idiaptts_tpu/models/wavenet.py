@@ -104,6 +104,16 @@ class WaveNetWrapper(nn.Module):
                                  *(cfg.input_names or ()))
         cond = jnp.asarray(data_dict[cfg.input_names[0]]) \
             if cfg.input_names else None
+        if cfg.target_name not in data_dict:
+            # Inference without a teacher target (trainer.synth):
+            # waveform generation is autoregressive and happens in
+            # gen_waveform via ``generate()`` (the reference's
+            # incremental_forward split, WaveNetWrapper.py:110-132);
+            # emit placeholder logits so the dict protocol holds.
+            out = dict(data_dict)
+            out[cfg.output_names[0]] = jnp.zeros(
+                cond.shape[:2] + (cfg.out_channels,), jnp.float32)
+            return out
         target = jnp.asarray(data_dict[cfg.target_name])
         if target.ndim == 3:
             target = target[..., 0]

@@ -656,3 +656,24 @@ def test_windowing_wrapper_static_first_input():
     # Windowing engaged (T=50 > 16) and output covers the full length.
     assert out["pred"].shape == (B, T, D)
     assert np.isfinite(np.asarray(out["pred"])).all()
+
+
+def test_wavenet_wrapper_inference_without_target():
+    """trainer.synth runs the wrapper with conditioning only; the
+    waveform comes from the AR generator in gen_waveform, so the
+    wrapper must tolerate a missing teacher target."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = WaveNetWrapper.Config(
+        input_names=("cond_features",), output_names=("pred_logits",),
+        target_name="target_quantised", out_channels=256,
+        residual_channels=16, gate_channels=32, skip_channels=16,
+        num_layers=4, num_stacks=2)
+    model = WaveNetWrapper(cfg)
+    B, T, C = 2, 40, 20
+    full = {"cond_features": jnp.zeros((B, T, C)),
+            "target_quantised": jnp.zeros((B, T), jnp.int32)}
+    params = model.init({"params": jax.random.PRNGKey(0)}, full)
+    out = model.apply(params, {"cond_features": jnp.ones((B, T, C))})
+    assert out["pred_logits"].shape == (B, T, 256)
