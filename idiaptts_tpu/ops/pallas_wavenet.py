@@ -8,18 +8,20 @@ production net fits VMEM many times over (~1.6 MB bf16), so this
 kernel keeps weights, ring buffers and the feedback path on-chip and
 runs each sample as a short chain of small MXU matmuls:
 
-- per layer, ONE fused matmul ``[past | h | cond] @ [W_past; W_cur;
-  W_cond]`` produces the gate pre-activations (k-packing the three
-  contributions), and one more ``z @ [W_skip | W_res]`` produces skip
-  and residual together — two dependent MXU issues per layer;
+- per layer, ONE matmul sits on the sequential chain:
+  ``[past | x_{j-1} | z_{j-1} | cond] @ V_j`` yields the gate
+  pre-activations, with the residual update lifted into the packed
+  ``V_j`` (see ``pack_weights``) so the previous layer's skip/res
+  matmul issues right behind it and its latency hides under the gate
+  math;
 - ring buffers live in one packed (sum(dilation+1), B_pad, R) bf16
   scratch; each slot is a clean (B_pad, R) tile read/write indexed by
   a scalar ``(t + 1) % size`` (the same O(1) ring addressing as the
   scan path, models/wavenet.py:156-158);
 - the sampled feedback rides the ``fori_loop`` carry as a one-hot
   (B_pad, 256) register tile: embedding lookup is ``onehot @ table``
-  (MXU), sampling is Gumbel-max (``pltpu.prng_random_bits`` + lane
-  argmax) — no host round trip anywhere in the loop.
+  (MXU), sampling is an inverse-CDF draw from ONE streamed uniform
+  per step — no host round trip anywhere in the loop.
 
 Numerics follow the TRAINING forward (bf16 matmuls, f32 state), not
 the scan generator's all-f32 matvecs; the forced-teacher mode below
@@ -63,7 +65,7 @@ def _make_kernel(dilations, R, Ca, S, C, out_channels, TB,
     sizes = [d + 1 for d in dilations]
     offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]).tolist()
 
-    def kernel(seed_ref, cond_ref, forced_ref, uniform_ref, embed_ref,
+    def kernel(cond_ref, forced_ref, uniform_ref, embed_ref,
                wm1_ref, b1_ref, wm2_ref, b2_ref, p1_ref, p1b_ref,
                p2_ref, p2b_ref, samples_ref, logits_ref, buf_ref,
                oh_ref):
@@ -221,7 +223,7 @@ def _generate_pallas(seed, cond, forced_seq, embed, wm1, b1, wm2, b2,
     kernel = _make_kernel(dilations, R, Ca, S, C, out_channels, TB,
                           temperature, forced)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=0,
         grid=(T_pad // TB,),
         in_specs=[
             pl.BlockSpec((TB, Bp, C), lambda i, *_: (i, 0, 0)),
@@ -256,7 +258,7 @@ def _generate_pallas(seed, cond, forced_seq, embed, wm1, b1, wm2, b2,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(jnp.asarray([seed], jnp.int32), cond, forced_seq, uniform,
+    )(cond, forced_seq, uniform,
       embed, wm1, b1, wm2, b2, p1, p1b, p2, p2b)
     return samples[:T], logits[:T]
 
