@@ -62,10 +62,15 @@ def alpha_powers(alphas, max_polynomial):
 
 
 def get_warp_matrix(alphas, n):
-    """alphas (..., 1) -> warp matrices (..., n, n) via one einsum."""
+    """alphas (..., 1) -> warp matrices (..., n, n) via one einsum.
+
+    ``Precision.HIGHEST`` keeps the polynomial contraction in true f32
+    on TPU (the default single-pass bf16 matmul breaks the exact
+    identity warp at alpha=0); the op is tiny, the cost is nil."""
     W = jnp.asarray(gen_w_matrix_3d(n))          # (n, n, 2n)
     powers = alpha_powers(alphas, 2 * n)         # (..., 2n)
-    return jnp.einsum("ijk,...k->...ij", W, powers)
+    return jnp.einsum("ijk,...k->...ij", W, powers,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def combine_warping_parameters(alphas):
@@ -95,7 +100,8 @@ def all_pass_warp(features, alphas, warp_matrix_size):
     c0_scale = jnp.ones(D).at[jnp.arange(0, min(3 * n, D), n)].set(0.5)
     x = x * c0_scale
     blocks = x[..., :num_blocks * n].reshape(B, T, num_blocks, n)
-    warped = jnp.einsum("btkn,btnm->btkm", blocks, warp)
+    warped = jnp.einsum("btkn,btnm->btkm", blocks, warp,
+                        precision=jax.lax.Precision.HIGHEST)
     out = warped.reshape(B, T, num_blocks * n)
     if D > num_blocks * n:
         out = jnp.concatenate([out, x[..., num_blocks * n:]], axis=-1)

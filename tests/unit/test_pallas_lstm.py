@@ -13,8 +13,15 @@ import pytest
 from idiaptts_tpu.ops.pallas_lstm import (
     _HAS_PALLAS, bilstm_recurrence_pallas, bilstm_recurrence_scan)
 
-pytestmark = pytest.mark.skipif(not _HAS_PALLAS,
-                                reason="pallas unavailable")
+pytestmark = [
+    pytest.mark.skipif(not _HAS_PALLAS, reason="pallas unavailable"),
+    # Interpret mode is the CPU-testing vehicle: under other backends
+    # its lowering (and bit-exact tolerances) differ; the compiled
+    # kernels are covered on hardware by the model-level integration
+    # tests and the reference-parity benchmark.
+    pytest.mark.skipif(jax.default_backend() != "cpu",
+                       reason="interpret-mode parity is CPU-only"),
+]
 
 
 def _rand_inputs(B, T, F, seed=0):

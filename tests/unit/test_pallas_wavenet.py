@@ -15,8 +15,13 @@ import pytest
 from idiaptts_tpu.models.wavenet import WaveNet, WaveNetWrapper
 from idiaptts_tpu.ops import pallas_wavenet as pw
 
-pytestmark = pytest.mark.skipif(not pw._HAS_PALLAS,
-                                reason="pallas unavailable")
+pytestmark = [
+    pytest.mark.skipif(not pw._HAS_PALLAS,
+                       reason="pallas unavailable"),
+    # Interpret mode is the CPU-testing vehicle (see test_pallas_lstm).
+    pytest.mark.skipif(jax.default_backend() != "cpu",
+                       reason="interpret-mode parity is CPU-only"),
+]
 
 
 def _setup(num_layers=4, B=2, T=50, C=63, seed=0):
