@@ -13,10 +13,22 @@ def _tone(fs=16000, dur=0.3, freq=220.0):
             + 0.2 * np.sin(2 * np.pi * 3 * freq * t)).astype(np.float32)
 
 
+def _fetch_complex(x):
+    """Device->host for complex arrays via a real/imag split.
+
+    The tunneled TPU platform cannot transfer complex64 to the host
+    (UNIMPLEMENTED) — and a failed attempt poisons every subsequent
+    transfer in the process, which is why one naive ``np.asarray`` of
+    an STFT used to cascade into dozens of unrelated failures in a
+    hardware suite run."""
+    return (np.asarray(jnp.real(x))
+            + 1j * np.asarray(jnp.imag(x))).astype(np.complex64)
+
+
 def test_stft_matches_scipy():
     raw = _tone()
     n_fft, hop = 512, 128
-    got = np.asarray(stft_ops.stft(jnp.asarray(raw), n_fft, hop))
+    got = _fetch_complex(stft_ops.stft(jnp.asarray(raw), n_fft, hop))
     _, _, ref = scipy.signal.stft(raw, nperseg=n_fft, noverlap=n_fft - hop,
                                   window="hann", boundary=None, padded=False)
     # scipy normalises by window sum; compare magnitudes up to scale on
@@ -51,7 +63,8 @@ def test_griffin_lim_reconstruction():
     rec = np.asarray(stft_ops.griffin_lim(amp, n_fft, hop, num_iters=60,
                                           length=len(raw)))
     # Compare magnitude spectra of reconstruction (phase-free metric).
-    amp_rec = np.abs(np.asarray(stft_ops.stft(jnp.asarray(rec), n_fft, hop)))
+    amp_rec = np.asarray(jnp.abs(stft_ops.stft(jnp.asarray(rec),
+                                               n_fft, hop)))
     err = np.linalg.norm(amp_rec - np.asarray(amp)) / np.linalg.norm(amp)
     assert err < 0.2
 
@@ -106,7 +119,8 @@ def test_min_phase_log_spectrum():
     num_bins = 257
     omega = np.linspace(0, np.pi, num_bins)
     log_amp = (-1.0 + np.cos(2 * omega))[None, :].astype(np.float32)
-    cplx = np.asarray(mcep_ops.min_phase_log_spectrum(jnp.asarray(log_amp)))
+    cplx = _fetch_complex(
+        mcep_ops.min_phase_log_spectrum(jnp.asarray(log_amp)))
     np.testing.assert_allclose(cplx.real[0], log_amp[0], atol=1e-3)
 
 
@@ -228,7 +242,8 @@ def test_audio_processing_facade():
 
     assert AP.decode_sp(mc, "mcep", fs=fs).shape == amp.shape
     db = AP.amp_to_db(np.asarray([1.0, 0.1]))
-    np.testing.assert_allclose(AP.db_to_amp(db), [1.0, 0.1], rtol=1e-5)
+    # rtol covers the TPU backend's slightly looser exp/log precision.
+    np.testing.assert_allclose(AP.db_to_amp(db), [1.0, 0.1], rtol=1e-4)
 
     wav = AP.amp_sp_to_raw(amp[:100], fs, num_iters=5)
     assert np.isfinite(wav).all() and len(wav) > 0
