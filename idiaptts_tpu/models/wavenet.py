@@ -110,6 +110,11 @@ class WaveNetWrapper(nn.Module):
             # gen_waveform via ``generate()`` (the reference's
             # incremental_forward split, WaveNetWrapper.py:110-132);
             # emit placeholder logits so the dict protocol holds.
+            if cond is None:
+                raise ValueError(
+                    "WaveNetWrapper inference needs either the teacher "
+                    "target '%s' or conditioning inputs to define the "
+                    "output length" % cfg.target_name)
             out = dict(data_dict)
             out[cfg.output_names[0]] = jnp.zeros(
                 cond.shape[:2] + (cfg.out_channels,), jnp.float32)
@@ -261,15 +266,21 @@ def generate(params, config, cond, rng=None, temperature=1.0):
     from idiaptts_tpu.ops import pallas_wavenet as pw
     if (pw.use_pallas_sampler()
             and pw.generate_viable(config, cond.shape[0],
-                                   cond.shape[-1])):
+                                   cond.shape[-1], dilations)):
         key = (id(wrapper_params), cond.shape[-1])
-        sampler = _SAMPLER_CACHE.get(key)
-        if sampler is None:
+        entry = _SAMPLER_CACHE.get(key)
+        # The cache entry keeps a strong reference to the params dict
+        # so its id() cannot be recycled by a later checkpoint's dict
+        # (which would silently serve stale packed weights); the `is`
+        # check makes the keying identity-exact.
+        if entry is not None and entry[0] is wrapper_params:
+            sampler = entry[1]
+        else:
             if len(_SAMPLER_CACHE) > 4:
                 _SAMPLER_CACHE.clear()
             sampler = pw.PackedSampler(wrapper_params, dilations,
                                        config, cond.shape[-1])
-            _SAMPLER_CACHE[key] = sampler
+            _SAMPLER_CACHE[key] = (wrapper_params, sampler)
         seed = int(jax.random.randint(rng, (), 0, 2 ** 31 - 1))
         samples, _ = sampler(cond, seed=seed,
                              temperature=temperature)

@@ -278,9 +278,7 @@ def mlpg_solve(features, factors, tau, feature_dim):
     def _use_pallas(L):
         from idiaptts_tpu.ops import pallas_ctx
         from idiaptts_tpu.ops.pallas_mlpg import solve_banded_viable
-        return (jax.default_backend() not in ("cpu",)
-                and (jax.device_count() == 1
-                     or pallas_ctx.forced_single_device())
+        return (pallas_ctx.fast_path_allowed()
                 and solve_banded_viable(T, L))
 
     def solve_one(b_single):

@@ -1,4 +1,4 @@
-"""Trace-time context for the Pallas fast paths.
+"""Trace-time context and shared gating for the Pallas fast paths.
 
 The Pallas kernels have no GSPMD partitioning rule, so by default they
 only engage when the process sees exactly one device.  Inside a
@@ -7,23 +7,39 @@ shard runs its own copy — which `jax.device_count()` cannot see.  The
 sharded serving pipeline wraps its (lazy) jit invocation in
 :func:`force_single_device` so the kernel gates treat the trace as
 single-device and the per-chip programs get the fused kernels.
+
+The flag is thread-local: tracing can happen concurrently (the serving
+server is multi-threaded), and a force in one thread must not leak
+into another thread's trace of a GSPMD-sharded program.
 """
 
+import threading
 from contextlib import contextmanager
 
-_FORCED = [False]
+_STATE = threading.local()
 
 
 @contextmanager
 def force_single_device():
     """Mark the enclosed (tracing) region as per-device code."""
-    prev = _FORCED[0]
-    _FORCED[0] = True
+    prev = getattr(_STATE, "forced", False)
+    _STATE.forced = True
     try:
         yield
     finally:
-        _FORCED[0] = prev
+        _STATE.forced = prev
 
 
 def forced_single_device():
-    return _FORCED[0]
+    return getattr(_STATE, "forced", False)
+
+
+def fast_path_allowed():
+    """The shared gate for every Pallas fast path: a real (non-CPU)
+    backend AND a single-device trace — either literally, or marked so
+    by :func:`force_single_device` (shard_map per-device bodies).
+    Per-kernel shape viability checks stack on top of this."""
+    import jax
+
+    return (jax.default_backend() not in ("cpu",)
+            and (jax.device_count() == 1 or forced_single_device()))

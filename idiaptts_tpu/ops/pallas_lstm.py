@@ -124,6 +124,11 @@ def _recurrence_tmajor(xp_t, wh_cat, interpret=False):
     T, R, G = xp_t.shape
     F = G // 4
     TB = _pick_time_block(R, F, G)
+    if TB < 1 and not interpret:
+        # Working set exceeds VMEM even at TB=1 (huge batch/width):
+        # degrade to the scan instead of a ZeroDivision below.
+        return _scan_tmajor(xp_t, wh_cat)
+    TB = max(TB, 1)
     T_pad = int(np.ceil(T / TB) * TB)
     xp_t = jnp.pad(xp_t, ((0, T_pad - T), (0, 0), (0, 0)))
 
@@ -260,9 +265,7 @@ def use_pallas_recurrence():
     does)."""
     from idiaptts_tpu.ops import pallas_ctx
 
-    return (_HAS_PALLAS and jax.default_backend() not in ("cpu",)
-            and (jax.device_count() == 1
-                 or pallas_ctx.forced_single_device()))
+    return _HAS_PALLAS and pallas_ctx.fast_path_allowed()
 
 
 # ---------------------------------------------------------------------
@@ -374,6 +377,9 @@ def _layer_tmajor(xin_t, wx, wh_cat, b, interpret=False):
     T, R, D = xin_t.shape
     F = wh_cat.shape[0] // 2
     TB = _pick_layer_time_block(R, D, F)
+    if TB < 1 and not interpret:
+        return _scan_layer_tmajor(xin_t, wx, wh_cat, b)
+    TB = max(TB, 1)
     T_pad = int(np.ceil(T / TB) * TB)
     xin_t = jnp.pad(xin_t, ((0, T_pad - T), (0, 0), (0, 0)))
 

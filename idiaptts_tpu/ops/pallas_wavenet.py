@@ -52,7 +52,7 @@ _VMEM_BUDGET = 14 * 1024 * 1024
 
 
 def _make_kernel(dilations, R, Ca, S, C, out_channels, TB,
-                 temperature, forced):
+                 temperature, forced, want_logits):
     """Build the kernel body for a static layer configuration.
 
     R: residual channels; Ca: gate half-width (z dim); S: skip
@@ -67,8 +67,14 @@ def _make_kernel(dilations, R, Ca, S, C, out_channels, TB,
 
     def kernel(cond_ref, forced_ref, uniform_ref, embed_ref,
                wm1_ref, b1_ref, wm2_ref, b2_ref, p1_ref, p1b_ref,
-               p2_ref, p2b_ref, samples_ref, logits_ref, buf_ref,
-               oh_ref):
+               p2_ref, p2b_ref, samples_ref, *out_rest):
+        # Logits are only materialised when requested (teacher-forced
+        # parity tests / probing): production sampling discards them,
+        # and writing (T, Bp, 256) f32 to HBM is pure waste there.
+        if want_logits:
+            logits_ref, buf_ref, oh_ref = out_rest
+        else:
+            buf_ref, oh_ref = out_rest
         Bp = cond_ref.shape[1]
         pid = pl.program_id(0)
 
@@ -136,7 +142,8 @@ def _make_kernel(dilations, R, Ca, S, C, out_channels, TB,
             logits = jnp.dot(hh, p2_ref[...],
                              preferred_element_type=jnp.float32) \
                 + p2b_ref[0]                                 # (Bp, 256)
-            logits_ref[r] = logits
+            if want_logits:
+                logits_ref[r] = logits
             lane = jax.lax.broadcasted_iota(jnp.int32,
                                             (Bp, 256), 1)
             if forced:
@@ -176,10 +183,12 @@ def _make_kernel(dilations, R, Ca, S, C, out_channels, TB,
     return kernel
 
 
-def generate_viable(config, B, C):
+def generate_viable(config, B, C, dilations=None):
     """The kernel supports the production architecture family: k=2
     convs, gate split in half, lane-tileable channel sizes, mu-law
-    classes <= 256, and everything resident in VMEM."""
+    classes <= 256, and everything resident in VMEM.  Pass the actual
+    ``dilations`` the sampler will run with (defaults to the standard
+    stacked-doubling schedule) so the ring-buffer estimate matches."""
     if not _HAS_PALLAS:
         return False
     R, G, S = (config.residual_channels, config.gate_channels,
@@ -188,8 +197,9 @@ def generate_viable(config, B, C):
         return False
     if max(R, G // 2, S, C) > 128 or S + R > 128 or B > 32:
         return False
-    dil = [2 ** (i % (config.num_layers // config.num_stacks))
-           for i in range(config.num_layers)]
+    dil = list(dilations) if dilations is not None else \
+        [2 ** (i % (config.num_layers // config.num_stacks))
+         for i in range(config.num_layers)]
     Bp = int(np.ceil(max(B, 1) / 8) * 8)
     slots = sum(d + 1 for d in dil)
     buf = slots * Bp * 128 * 2           # bf16, lanes padded to 128
@@ -202,10 +212,12 @@ def generate_viable(config, B, C):
 
 @partial(jax.jit, static_argnames=("dilations", "R", "Ca", "S", "C",
                                    "out_channels", "temperature",
-                                   "forced", "interpret"))
+                                   "forced", "want_logits",
+                                   "interpret"))
 def _generate_pallas(seed, cond, forced_seq, embed, wm1, b1, wm2, b2,
                      p1, p1b, p2, p2b, *, dilations, R, Ca, S, C,
-                     out_channels, temperature, forced, interpret):
+                     out_channels, temperature, forced, want_logits,
+                     interpret):
     """cond: (T, Bp, C) f32; forced_seq: (T, Bp) int32 (zeros when
     unused).  Returns (samples (T, Bp) int32, logits (T, Bp, 256))."""
     T, Bp, _ = cond.shape
@@ -221,7 +233,7 @@ def _generate_pallas(seed, cond, forced_seq, embed, wm1, b1, wm2, b2,
     slots = sum(d + 1 for d in dilations)
 
     kernel = _make_kernel(dilations, R, Ca, S, C, out_channels, TB,
-                          temperature, forced)
+                          temperature, forced, want_logits)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(T_pad // TB,),
@@ -239,28 +251,29 @@ def _generate_pallas(seed, cond, forced_seq, embed, wm1, b1, wm2, b2,
             pl.BlockSpec(p2.shape, lambda i, *_: (0, 0)),
             pl.BlockSpec(p2b.shape, lambda i, *_: (0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((TB, Bp), lambda i, *_: (i, 0)),
-            pl.BlockSpec((TB, Bp, 256), lambda i, *_: (i, 0, 0)),
-        ],
+        out_specs=(
+            [pl.BlockSpec((TB, Bp), lambda i, *_: (i, 0))]
+            + ([pl.BlockSpec((TB, Bp, 256), lambda i, *_: (i, 0, 0))]
+               if want_logits else [])),
         scratch_shapes=[
             pltpu.VMEM((slots, Bp, R), jnp.bfloat16),
             pltpu.VMEM((Bp, 256), jnp.float32),
         ],
     )
-    samples, logits = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((T_pad, Bp), jnp.int32),
-            jax.ShapeDtypeStruct((T_pad, Bp, 256), jnp.float32),
-        ],
+        out_shape=(
+            [jax.ShapeDtypeStruct((T_pad, Bp), jnp.int32)]
+            + ([jax.ShapeDtypeStruct((T_pad, Bp, 256), jnp.float32)]
+               if want_logits else [])),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(cond, forced_seq, uniform,
       embed, wm1, b1, wm2, b2, p1, p1b, p2, p2b)
-    return samples[:T], logits[:T]
+    samples = out[0][:T]
+    return samples, (out[1][:T] if want_logits else None)
 
 
 def pack_weights(wrapper_params, dilations, config, cond_dim):
@@ -340,11 +353,14 @@ class PackedSampler:
             pack_weights(wrapper_params, dilations, config, cond_dim))
 
     def __call__(self, cond, seed=0, temperature=1.0, forced=None,
-                 interpret=False):
+                 want_logits=None, interpret=False):
         """cond: (B, T, C) float32; forced: optional (B, T) int32
         teacher samples (logits-parity/testing mode — feedback comes
         from ``forced`` instead of sampling).
-        Returns (samples (B, T) int32, logits (B, T, out_channels))."""
+        Returns (samples (B, T) int32, logits (B, T, out_channels) or
+        None).  Logits are materialised only in forced mode or with
+        ``want_logits=True`` — production sampling skips the
+        (T, B, 256) f32 HBM write entirely."""
         cfg = self.config
         B, T, C = cond.shape
         Bp = int(np.ceil(max(B, 1) / 8) * 8)
@@ -363,20 +379,25 @@ class PackedSampler:
             Ca=cfg.gate_channels // 2, S=cfg.skip_channels, C=C,
             out_channels=cfg.out_channels,
             temperature=float(temperature), forced=forced is not None,
+            want_logits=bool(forced is not None if want_logits is None
+                             else want_logits),
             interpret=interpret)
         samples = jnp.transpose(samples, (1, 0))[:B]
-        logits = jnp.transpose(logits, (1, 0, 2))[:B, :,
-                                                  :cfg.out_channels]
+        if logits is not None:
+            logits = jnp.transpose(logits, (1, 0, 2))[:B, :,
+                                                      :cfg.out_channels]
         return samples, logits
 
 
 def generate_pallas(wrapper_params, dilations, config, cond, seed=0,
-                    temperature=1.0, forced=None, interpret=False):
+                    temperature=1.0, forced=None, want_logits=None,
+                    interpret=False):
     """One-shot convenience wrapper around :class:`PackedSampler`."""
     sampler = PackedSampler(wrapper_params, dilations, config,
                             cond.shape[-1])
     return sampler(cond, seed=seed, temperature=temperature,
-                   forced=forced, interpret=interpret)
+                   forced=forced, want_logits=want_logits,
+                   interpret=interpret)
 
 
 def use_pallas_sampler():
@@ -384,6 +405,4 @@ def use_pallas_sampler():
     and shard_map opt-in as pallas_lstm.use_pallas_recurrence)."""
     from idiaptts_tpu.ops import pallas_ctx
 
-    return (_HAS_PALLAS and jax.default_backend() not in ("cpu",)
-            and (jax.device_count() == 1
-                 or pallas_ctx.forced_single_device()))
+    return _HAS_PALLAS and pallas_ctx.fast_path_allowed()

@@ -80,10 +80,11 @@ def test_free_running_samples_valid():
     samples, logits = pw.generate_pallas(
         params["params"], tuple(net.dilations()), cfg, cond, seed=3,
         temperature=1.0, interpret=True)
+    # Production sampling skips the logits materialisation entirely.
+    assert logits is None
     s = np.asarray(samples)
     assert s.shape == cond.shape[:2]
     assert s.min() >= 0 and s.max() <= 255
-    assert np.isfinite(np.asarray(logits)).all()
     # Near-uniform random-init logits must not collapse to a constant.
     assert len(np.unique(s)) > 5
 
@@ -92,7 +93,7 @@ def test_greedy_matches_argmax_of_logits():
     cfg, net, params, cond, _ = _setup(T=30)
     samples, logits = pw.generate_pallas(
         params["params"], tuple(net.dilations()), cfg, cond,
-        temperature=0.0, interpret=True)
+        temperature=0.0, want_logits=True, interpret=True)
     np.testing.assert_array_equal(
         np.asarray(samples), np.argmax(np.asarray(logits), axis=-1))
 
