@@ -302,6 +302,7 @@ class ExtendedHParams:
             optimiser_type="Adam",
             optimiser_args={},
             optimiser=None,
+            frozen_layers=[],
             replace_inf_grads_by_zero=False,
             ema_decay=None,
             exponential_moving_average=False,

@@ -213,6 +213,21 @@ class ModularModelHandler(ModelHandler):
             args.pop("lr", None)
         self.base_lr = lr
         chain = []
+        frozen = hparams.get("frozen_layers") or ()
+        if frozen:
+            # Zero the gradients of matching parameter paths BEFORE
+            # clipping/Adam: frozen parameters then contribute nothing
+            # to the clip norm and accumulate no optimiser moments, so
+            # their updates are exactly zero (transfer-learning /
+            # adaptation freezing, e.g. SSW'19 VTLN: freeze the
+            # average-voice pre-net, train only the warp layer).
+            def _frozen_mask(tree, _patterns=tuple(frozen)):
+                flat = flax.traverse_util.flatten_dict(tree, sep="/")
+                return flax.traverse_util.unflatten_dict(
+                    {path: any(re.search(p, path) for p in _patterns)
+                     for path in flat}, sep="/")
+            chain.append(optax.masked(optax.set_to_zero(),
+                                      _frozen_mask))
         if hparams.get("grad_clip_norm_type") is not None \
                 and hparams.get("grad_clip_max_norm") is not None:
             chain.append(optax.clip_by_global_norm(

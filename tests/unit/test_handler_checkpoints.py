@@ -4,6 +4,7 @@ equal_checkpoint, plus ignore_layers and layer_map regex renaming)."""
 
 import os
 
+import jax
 import numpy as np
 import pytest
 
@@ -162,3 +163,40 @@ def test_ema_checkpoint_serves_shadow_resumes_raw(tmp_path):
                           load_optimiser=True)
     assert equal_model(h_res.params, raw)
     assert equal_model(h_res.ema.shadow, shadow)
+
+
+def test_frozen_layers_updates_only_unfrozen():
+    """hparams.frozen_layers: gradients of matching paths are zeroed
+    before clipping/Adam, so frozen parameters stay bit-identical while
+    the rest train (transfer-learning freeze, e.g. SSW'19 VTLN
+    adaptation: frozen average-voice pre-net + trainable warp layer)."""
+    import flax
+
+    from idiaptts_tpu.models.losses import NamedLoss
+
+    cfg = convert_legacy_string("RNNDYN-1_RELU_8-1_FC_4", 6)
+    cfg.input_names = ("x",)
+    cfg.output_names = ("pred",)
+    handler = ModularModelHandler()
+    rng = np.random.RandomState(0)
+    batch = collate_batch([{
+        "x": rng.randn(10, 6).astype(np.float32),
+        "target": rng.randn(10, 4).astype(np.float32)}])
+    handler.create_model(cfg, example_batch=batch)
+    hparams = ExtendedHParams.create_hparams()
+    hparams.frozen_layers = ["g0_Linear_0"]
+    handler.set_optimiser(hparams)
+    handler.set_scheduler(hparams)
+    handler.set_losses([NamedLoss.Config("l", "MSELoss",
+                                         ("pred", "target"))])
+    before = flax.traverse_util.flatten_dict(
+        jax.tree_util.tree_map(np.asarray, handler.params), sep="/")
+    handler.process_batches([batch], training=True)
+    handler.process_batches([batch], training=True)
+    after = flax.traverse_util.flatten_dict(
+        jax.tree_util.tree_map(np.asarray, handler.params), sep="/")
+    for path in before:
+        if "g0_Linear_0" in path:
+            np.testing.assert_array_equal(before[path], after[path])
+        else:
+            assert np.abs(before[path] - after[path]).max() > 0, path
