@@ -173,12 +173,11 @@ class FusedAcousticPipeline:
             # to the GSPMD jit — and, unlike GSPMD, the per-device
             # trace can use the Pallas fast paths (fused BiLSTM layer
             # + MLPG solve), which have no partitioning rule.
-            from jax.experimental.shard_map import shard_map
-            self._run_shmap = jax.jit(shard_map(
+            self._run_shmap = jax.jit(jax.shard_map(
                 run, mesh=mesh,
                 in_specs=(P(), P(data_axis), P(data_axis),
                           P(data_axis), P(), P(), P()),
-                out_specs=P(data_axis), check_rep=False))
+                out_specs=P(data_axis), check_vma=False))
         self._run = jax.jit(run)
 
     def stage_jits(self):

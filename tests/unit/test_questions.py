@@ -180,3 +180,40 @@ def test_make_question_file_tool(tmp_path):
     assert qs.dict_size > 200
     answers = qs.match("sil~hh-ah+l=ow:1_5/A/v_vowel/B/1-3/J/5+2-1")
     assert (answers != 0).sum() >= 5
+
+
+@pytest.mark.parametrize("asset,size", [
+    ("questions-en-radio_dnn_416.hed", 416),
+    ("questions-en-unilex_dnn_600.hed", 600),
+])
+def test_shipped_reference_question_sets(fixtures_dir, asset, size):
+    """The reference's shipped question-set assets
+    (scripts/tts_frontend/questions/questions-en-radio_dnn_416.hed and
+    questions-en-unilex_dnn_600.hed) are committed under
+    idiaptts_tpu/assets/ and load through the question engine: correct
+    dimensionality, and real (non-trivial) activations on the fixture
+    corpus labels — so reference recipes keyed to these files port
+    unchanged."""
+    from idiaptts_tpu.data.questions import QuestionSet
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "..", "..", "idiaptts_tpu", "assets", asset)
+    qs = QuestionSet(path)
+    assert qs.dict_size == size
+    lab_dir = os.path.join(fixtures_dir, "labels", "label_state_align")
+    lab_file = sorted(os.listdir(lab_dir))[0]
+    with open(os.path.join(lab_dir, lab_file)) as f:
+        labels = [line.split()[-1] for line in f if line.strip()]
+    answers = np.stack([qs.match(lab) for lab in labels])
+    assert answers.shape == (len(labels), size)
+    # Every phone label activates some questions; the set as a whole
+    # activates many distinct ones (radio phone set matches the
+    # fixture corpus; unilex shares the positional/CQS questions).
+    assert (answers != 0).any(axis=1).all()
+    assert (answers != 0).any(axis=0).sum() > 50
+    # Full frame-level extraction (questions + 9 subphone features)
+    # runs through the standard gen_data path at the right width.
+    label_dict, _, _ = QuestionLabelGen.gen_data(
+        lab_dir, path, dir_out=None,
+        id_list=[lab_file.rsplit(".", 1)[0]], return_dict=True)
+    mat = next(iter(label_dict.values()))
+    assert mat.shape[1] == size + 9
