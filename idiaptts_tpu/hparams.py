@@ -269,6 +269,8 @@ class ExtendedHParams:
             use_gpu=False,           # kept for API compat; means "use TPU"
             num_devices=1,
             model_parallel=1,        # tensor-parallel mesh axis size
+            use_shard_map="auto",    # per-device train step (keeps the
+                                     # Pallas kernels live multi-chip)
             mesh_shape=None,         # e.g. {"data": 8}
             data_axis="data",
             dtype="float32",         # parameter dtype

@@ -34,12 +34,33 @@ def forced_single_device():
     return getattr(_STATE, "forced", False)
 
 
+@contextmanager
+def force_interpret():
+    """Run every Pallas kernel in interpret mode inside the enclosed
+    (tracing) region — lets CPU tests and the multi-chip dryrun execute
+    the REAL kernel code paths (forward and backward) where the
+    hardware gate would otherwise fall back to the scan.  Test/dryrun
+    only; never enabled in production paths."""
+    prev = getattr(_STATE, "interpret", False)
+    _STATE.interpret = True
+    try:
+        yield
+    finally:
+        _STATE.interpret = prev
+
+
+def interpret_forced():
+    return getattr(_STATE, "interpret", False)
+
+
 def fast_path_allowed():
     """The shared gate for every Pallas fast path: a real (non-CPU)
     backend AND a single-device trace — either literally, or marked so
     by :func:`force_single_device` (shard_map per-device bodies).
-    Per-kernel shape viability checks stack on top of this."""
+    :func:`force_interpret` lifts the backend requirement (the kernels
+    then run emulated).  Per-kernel shape viability checks stack on
+    top of this."""
     import jax
 
-    return (jax.default_backend() not in ("cpu",)
+    return ((jax.default_backend() not in ("cpu",) or interpret_forced())
             and (jax.device_count() == 1 or forced_single_device()))

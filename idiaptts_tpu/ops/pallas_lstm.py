@@ -53,14 +53,18 @@ _TIME_BLOCK = 8
 _VMEM_BUDGET = int(15.5 * 1024 * 1024)
 
 
-def _pick_time_block(R, F, G):
+def _pick_time_block(R, F, G, train=False):
     """Largest TB <= _TIME_BLOCK whose working set fits VMEM; 0 if even
     TB=1 cannot fit (caller falls back to the scan).  R is rounded up
-    to the 8-row hardware tile for the estimate."""
+    to the 8-row hardware tile for the estimate.  ``train`` adds the
+    residual outputs the backward kernel consumes (post-activation
+    gates 4F + cell states F, double-buffered)."""
     R = int(np.ceil(max(R, 1) / 8) * 8)
     weights = 2 * F * G * 2                       # bf16, resident
     carry = R * (2 * F + F) * 4                   # h + c scratch
     per_tb = R * (G + F) * 4 * 2                  # in+out, double-buffered
+    if train:
+        per_tb += R * (G + F) * 4 * 2             # gate + cell residuals
     budget = _VMEM_BUDGET - weights - carry
     if budget < per_tb:
         return 0
@@ -227,6 +231,14 @@ def _scan_tmajor(xp_t, wh_cat):
     return jnp.transpose(out, (2, 0, 1, 3)).reshape(T, R, F)
 
 
+def _interpret_now():
+    """Trace-time interpret flag (pallas_ctx.force_interpret): lets CPU
+    tests and the multi-chip dryrun execute the real kernel bodies."""
+    from idiaptts_tpu.ops import pallas_ctx
+
+    return pallas_ctx.interpret_forced()
+
+
 @jax.custom_vjp
 def bilstm_recurrence_tmajor(xp_t, wh_cat):
     """Differentiable fused recurrence on time-major projections:
@@ -237,11 +249,12 @@ def bilstm_recurrence_tmajor(xp_t, wh_cat):
 
     xp_t: (T, 2*B_pad, 4F) f32; wh_cat: (2F, 4F).  -> (T, 2*B_pad, F).
     """
-    return _recurrence_tmajor(xp_t, wh_cat)
+    return _recurrence_tmajor(xp_t, wh_cat, interpret=_interpret_now())
 
 
 def _bilstm_fwd(xp_t, wh_cat):
-    return _recurrence_tmajor(xp_t, wh_cat), (xp_t, wh_cat)
+    return (_recurrence_tmajor(xp_t, wh_cat, interpret=_interpret_now()),
+            (xp_t, wh_cat))
 
 
 def _bilstm_bwd(res, g):
@@ -433,11 +446,14 @@ def bilstm_layer_tmajor(xin_t, wx, wh_cat, b):
     """Differentiable fused BiLSTM layer (projection + recurrence):
     Pallas forward, scan VJP backward (identical gradients to the
     scan path at forward-recompute cost)."""
-    return _layer_tmajor(xin_t, wx, wh_cat, b)
+    return _layer_tmajor(xin_t, wx, wh_cat, b,
+                         interpret=_interpret_now())
 
 
 def _layer_fwd(xin_t, wx, wh_cat, b):
-    return _layer_tmajor(xin_t, wx, wh_cat, b), (xin_t, wx, wh_cat, b)
+    return (_layer_tmajor(xin_t, wx, wh_cat, b,
+                          interpret=_interpret_now()),
+            (xin_t, wx, wh_cat, b))
 
 
 def _layer_bwd(res, g):

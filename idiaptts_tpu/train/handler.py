@@ -16,6 +16,7 @@ inserts the gradient all-reduce over ICI (no DataParallel scatter /
 gather, no remainder dropping).
 """
 
+import contextlib
 import glob
 import json
 import logging
@@ -36,6 +37,8 @@ from idiaptts_tpu.train.model_handler_base import ModelHandler
 from idiaptts_tpu.train.schedulers import create_scheduler
 
 logger = logging.getLogger(__name__)
+
+_null_ctx = contextlib.nullcontext
 
 
 class ExponentialMovingAverage:
@@ -76,14 +79,18 @@ class ModularModelHandler(ModelHandler):
         # "msgpack" (single-file flax blobs) or "orbax" (directory
         # checkpoints; saves sharded multi-chip arrays natively).
         self.checkpoint_backend = "msgpack"
+        # "auto": shard_map data-parallel training on real hardware
+        # (keeps the Pallas fast paths live per chip); GSPMD on CPU.
+        self.use_shard_map = "auto"
         self._train_step_fn = None
         self._eval_step_fn = None
         self._infer_fn = None
+        self._shmap_steps = {}
         self._rng = jax.random.PRNGKey(42)
 
     # -- mesh / sharding --------------------------------------------------
     def setup_mesh(self, num_devices=None, axis_name="data",
-                   model_parallel=1):
+                   model_parallel=1, use_shard_map="auto"):
         """Build the device mesh the engine trains over.
 
         ``model_parallel=1``: 1-D data-parallel mesh (the reference's
@@ -91,7 +98,17 @@ class ModularModelHandler(ModelHandler):
         ``model_parallel=M``: 2-D ``(data, model)`` mesh — weights'
         trailing dims shard over the ICI-adjacent ``model`` axis
         (tensor parallelism), batches over ``data``; GSPMD inserts the
-        collectives."""
+        collectives.
+
+        ``use_shard_map``: train through an explicit ``jax.shard_map``
+        per-device program instead of a GSPMD-sharded jit (1-D mesh
+        only).  The per-device trace is single-device, so the Pallas
+        fast paths (fused BiLSTM layer/recurrence) stay live under
+        multi-chip data-parallel training; a plain GSPMD program has no
+        partitioning rule for ``pallas_call`` and falls back to the
+        scan formulation.  "auto" = on for multi-device 1-D meshes on
+        real hardware, off on CPU (where kernels are scan-fallbacks
+        anyway and GSPMD keeps dropout bit-identical to 1-device)."""
         devices = jax.devices()
         if num_devices is not None:
             devices = devices[:num_devices]
@@ -110,6 +127,8 @@ class ModularModelHandler(ModelHandler):
             self.mesh = Mesh(np.array(devices), (axis_name,))
             self.model_axis = None
         self.axis_name = axis_name
+        self.use_shard_map = use_shard_map
+        self._shmap_steps = {}
         if self.params is not None:
             self._apply_param_shardings()
         return self.mesh
@@ -141,6 +160,7 @@ class ModularModelHandler(ModelHandler):
         self._train_step_fn = None
         self._eval_step_fn = None
         self._infer_fn = None
+        self._shmap_steps = {}
 
     @property
     def _data_axis_size(self):
@@ -301,8 +321,11 @@ class ModularModelHandler(ModelHandler):
             self.ema = ExponentialMovingAverage(self.params, decay)
 
     # -- jit steps --------------------------------------------------------
-    def _loss_fn(self, params, batch_stats, batch_data, lengths, rngs,
-                 step, training):
+    def _apply_model(self, params, batch_stats, batch_data, lengths,
+                     rngs, training):
+        """Model forward; returns (flat_out, out, new_batch_stats).
+        ``flat_out`` is the output dict plus flattened intermediates —
+        the namespace the losses read from."""
         variables = {"params": params}
         mutable = ["intermediates"]
         if batch_stats is not None:
@@ -321,6 +344,10 @@ class ModularModelHandler(ModelHandler):
             # (losses reference e.g. "vae_mu"); never shadows a model
             # output or an earlier alias.
             flat_out.setdefault(key.rsplit("/", 1)[-1], value)
+        return flat_out, out, \
+            (updates.get("batch_stats") if updates else None)
+
+    def _losses_total(self, flat_out, step):
         total = 0.0
         loss_values = {}
         backprop = getattr(self, "backprop_loss_names", None)
@@ -333,8 +360,14 @@ class ModularModelHandler(ModelHandler):
             # optimised total (monitor-only).
             if backprop is None or loss.name in backprop:
                 total = total + value
-        return total, (loss_values, out,
-                       updates.get("batch_stats") if updates else None)
+        return total, loss_values
+
+    def _loss_fn(self, params, batch_stats, batch_data, lengths, rngs,
+                 step, training):
+        flat_out, out, new_stats = self._apply_model(
+            params, batch_stats, batch_data, lengths, rngs, training)
+        total, loss_values = self._losses_total(flat_out, step)
+        return total, (loss_values, out, new_stats)
 
     def _make_train_step(self):
         optimiser = self.optimiser
@@ -363,6 +396,121 @@ class ModularModelHandler(ModelHandler):
 
         return train_step
 
+    # -- shard_map data-parallel step --------------------------------------
+    def _shard_map_enabled(self):
+        """True when training should go through the explicit per-device
+        shard_map program (see :meth:`setup_mesh`).  Pure data-parallel
+        1-D meshes only — tensor-parallel weights genuinely shard and
+        need GSPMD."""
+        if (self.mesh is None or self.model_axis
+                or self._data_axis_size < 2):
+            return False
+        if self.use_shard_map == "auto":
+            from idiaptts_tpu.ops import pallas_ctx
+            return (jax.default_backend() not in ("cpu",)
+                    or pallas_ctx.interpret_forced())
+        return bool(self.use_shard_map)
+
+    def _get_shmap_step(self, data, lengths):
+        """shard_map train step for this batch's sharding pattern, or
+        None when a batch leaf cannot shard (non-divisible leading dim:
+        per-device shapes would disagree — the GSPMD step handles those
+        batches)."""
+        num = self._data_axis_size
+        for v in data.values():
+            if not (getattr(v, "ndim", 0) >= 1 and v.shape[0] % num == 0):
+                return None
+        if isinstance(lengths, dict):
+            for v in lengths.values():
+                if v.shape[0] % num:
+                    return None
+            lengths_spec = {k: P(self.axis_name) for k in lengths}
+            lkey = tuple(sorted(lengths))
+        elif lengths is None:
+            lengths_spec = P()
+            lkey = None
+        else:
+            if lengths.shape[0] % num:
+                return None
+            lengths_spec = P(self.axis_name)
+            lkey = "*"
+        key = (tuple(sorted(data)), lkey)
+        fn = self._shmap_steps.get(key)
+        if fn is None:
+            batch_spec = {k: P(self.axis_name) for k in data}
+            fn = self._make_train_step_shard_map(batch_spec, lengths_spec)
+            self._shmap_steps[key] = fn
+        return fn
+
+    def _make_train_step_shard_map(self, batch_spec, lengths_spec):
+        """Data-parallel train step as an explicit ``jax.shard_map``.
+
+        Each device runs a SINGLE-DEVICE program on its batch shard —
+        the trace the Pallas fast paths require (the caller wraps the
+        invocation in ``pallas_ctx.force_single_device``).  Exactness
+        vs the GSPMD step: the per-device forward's outputs (plus
+        intermediates) are all-gathered over ICI before the losses run,
+        so every device evaluates the losses on the FULL batch — global
+        mask denominators included — and the loss/grads/update equal
+        the GSPMD program's, not an average of per-shard means.  The
+        all-gather moves model *outputs* only (B·T·D_out floats, ~2 MB
+        at the headline shape), never activations; its VJP is the
+        matching reduce-scatter, and the final grad ``psum`` makes each
+        device's shard-restricted gradient global.  Dropout masks are
+        drawn per shard (rng folded with the axis index) — statistically
+        identical to, but not bit-equal with, the single-trace GSPMD
+        masks."""
+        optimiser = self.optimiser
+        axis = self.axis_name
+
+        def body(params, batch_stats, opt_state, batch_data, lengths,
+                 rng, step, lr):
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+            rngs = {"dropout": rng, "latent": rng}
+
+            def loss_fn(p):
+                flat_out, _, new_stats = self._apply_model(
+                    p, batch_stats, batch_data, lengths, rngs, True)
+                gathered = {
+                    k: (jax.lax.all_gather(v, axis, axis=0, tiled=True)
+                        if getattr(v, "ndim", 0) >= 1 else v)
+                    for k, v in flat_out.items()}
+                total, loss_values = self._losses_total(gathered, step)
+                return total, (loss_values, new_stats)
+
+            (total, (loss_values, new_stats)), grads = \
+                jax.value_and_grad(loss_fn, has_aux=True)(params)
+            # pmean, not psum: every device seeds the SAME replicated
+            # loss adjoint, so the all_gather transpose (psum_scatter)
+            # already sums ndev identical cotangents into each shard's
+            # output cotangent — device d's grad is ndev * (shard d's
+            # true contribution).  The cross-device mean therefore
+            # yields exactly sum_d(contribution_d) = the global grad.
+            grads = jax.lax.pmean(grads, axis)
+            if self.replace_inf_grads_by_zero:
+                grads = jax.tree_util.tree_map(
+                    lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads)
+            opt_state = _set_lr(opt_state, self._opt_index, lr)
+            updates, opt_state = optimiser.update(grads, opt_state,
+                                                  params)
+            params = optax.apply_updates(params, updates)
+            grad_norm = optax.global_norm(grads)
+            if new_stats is not None:
+                # BatchNorm running stats: mean of the per-shard
+                # updates (batch-mean statistics over equal shards).
+                new_stats = jax.tree_util.tree_map(
+                    lambda s: jax.lax.pmean(s, axis), new_stats)
+            return params, opt_state, total, loss_values, grad_norm, \
+                new_stats
+
+        shmap = jax.shard_map(
+            body, mesh=self.mesh,
+            in_specs=(P(), P(), P(), batch_spec, lengths_spec,
+                      P(), P(), P()),
+            out_specs=(P(), P(), P(), P(), P(), P()),
+            check_vma=False)
+        return partial(jax.jit, donate_argnums=(0, 2))(shmap)
+
     def _make_eval_step(self):
         @jax.jit
         def eval_step(params, batch_stats, batch_data, lengths, step):
@@ -390,13 +538,22 @@ class ModularModelHandler(ModelHandler):
             if training:
                 self._rng, rng = jax.random.split(self._rng)
                 lr = self._current_lr()
+                step_fn = self._train_step_fn
+                if self._shard_map_enabled():
+                    shmap_fn = self._get_shmap_step(data, lengths)
+                    if shmap_fn is not None:
+                        step_fn = shmap_fn
                 # step/lr as traced scalars: python ints would retrace
                 # the jitted step every iteration.
-                (self.params, self.opt_state, total, loss_values,
-                 grad_norm, new_stats) = self._train_step_fn(
-                    self.params, self.batch_stats, self.opt_state, data,
-                    lengths, rng, jnp.asarray(self.total_steps),
-                    jnp.asarray(lr, jnp.float32))
+                from idiaptts_tpu.ops import pallas_ctx
+                with pallas_ctx.force_single_device() \
+                        if step_fn is not self._train_step_fn \
+                        else _null_ctx():
+                    (self.params, self.opt_state, total, loss_values,
+                     grad_norm, new_stats) = step_fn(
+                        self.params, self.batch_stats, self.opt_state,
+                        data, lengths, rng, jnp.asarray(self.total_steps),
+                        jnp.asarray(lr, jnp.float32))
                 if new_stats is not None:
                     self.batch_stats = new_stats
                 if self.ema is not None:

@@ -121,7 +121,8 @@ class ModularTrainer:
                 or model_parallel > 1:
             self.model_handler.setup_mesh(
                 hparams.get("num_devices"),
-                model_parallel=model_parallel)
+                model_parallel=model_parallel,
+                use_shard_map=hparams.get("use_shard_map", "auto"))
         self.model_handler.set_optimiser(hparams)
         self.model_handler.set_scheduler(hparams)
         self.model_handler.set_losses(self.loss_configs)

@@ -1,0 +1,260 @@
+"""shard_map data-parallel TRAINING keeps the Pallas fast paths.
+
+Under a GSPMD-sharded jit a ``pallas_call`` has no partitioning rule,
+so multi-chip training used to fall back to the scan formulation (the
+round-3 admission in docs/PERFORMANCE.md "Scaling").  The handler's
+``use_shard_map`` path traces one single-device program per chip —
+exactly like the sharded serving pipeline — so the fused BiLSTM
+layer/recurrence kernels stay live in multi-chip data-parallel
+training.  These tests prove on the 8-device virtual CPU platform
+(kernels in interpret mode) that
+
+- the shard_map step's loss, per-loss values and updated parameters
+  equal the GSPMD step's (exactness comes from all-gathering the model
+  outputs before the losses run: global mask denominators, then a grad
+  psum — NOT an average of per-shard loss means), and
+- the Pallas kernel code path genuinely executes inside the per-device
+  program.
+
+Reference role: DataParallel training engine
+(ModularModelHandlerPyTorch.py:731-735) scaled to a TPU mesh.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from idiaptts_tpu.data.dataset import collate_batch
+from idiaptts_tpu.hparams import ExtendedHParams
+from idiaptts_tpu.models.losses import NamedLoss
+from idiaptts_tpu.models.rnn_dyn import convert_legacy_string
+from idiaptts_tpu.ops import pallas_ctx
+from idiaptts_tpu.train.handler import ModularModelHandler
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8,
+    reason="needs the 8-device virtual CPU platform")
+
+
+def _make_batch(B=8, D=12, lengths=(17, 23, 9, 30, 21, 13, 27, 11)):
+    """Variable lengths on purpose: per-shard mask sums differ, so an
+    average of per-shard mean_per_frame losses would NOT equal the
+    global loss — this is what makes the parity assertion strong."""
+    rng = np.random.RandomState(0)
+    samples = []
+    for i in range(B):
+        L = lengths[i % len(lengths)]
+        samples.append({
+            "x": rng.randn(L, D).astype(np.float32),
+            "target": rng.randn(L, 4).astype(np.float32),
+        })
+    return collate_batch(samples)
+
+
+def _make_handler(num_devices=None, use_shard_map=False, D=12,
+                  optimiser="SGD"):
+    # F=128 so the fused-kernel shape gate (lane-aligned gates) passes.
+    # SGD by default: parity tests compare post-update losses, and SGD
+    # scales gradient differences linearly by lr, whereas one Adam step
+    # is ~lr*sign(g) — reduction-order noise (1e-7) on near-zero grads
+    # flips update signs and amplifies into visible loss differences.
+    cfg = convert_legacy_string("RNNDYN-1_RELU_32-1_BiLSTM_128-1_FC_4",
+                                D)
+    cfg.input_names = ("x",)
+    cfg.output_names = ("pred",)
+    handler = ModularModelHandler()
+    handler.create_model(cfg, example_batch=_make_batch(D=D))
+    hparams = ExtendedHParams.create_hparams()
+    hparams.learning_rate = 0.01
+    hparams.optimiser_type = optimiser
+    handler.set_optimiser(hparams)
+    handler.set_scheduler(hparams)
+    handler.set_losses([NamedLoss.Config(
+        "mse", "MSELoss", ("pred", "target"), seq_mask="_seq_mask")])
+    if num_devices:
+        handler.setup_mesh(num_devices, use_shard_map=use_shard_map)
+    return handler
+
+
+def _flat(params):
+    import flax
+    return flax.traverse_util.flatten_dict(
+        jax.tree_util.tree_map(np.asarray, params), sep="/")
+
+
+def test_shard_map_step_matches_gspmd():
+    """Two training steps: GSPMD dp(8) vs shard_map dp(8) from
+    identical initial parameters give the same losses and the same
+    updated parameters (tight tolerance — on CPU both bodies run the
+    same scan formulation, so only collective reduction order can
+    differ).  This proves the harness exactness: gather-then-loss
+    keeps global mask denominators, pmean'd grads equal the global
+    gradient."""
+    batch = _make_batch()
+    h_gspmd = _make_handler(num_devices=8, use_shard_map=False)
+    h_shmap = _make_handler(num_devices=8, use_shard_map=True)
+
+    losses = {}
+    for name, handler in [("gspmd", h_gspmd), ("shmap", h_shmap)]:
+        losses[name] = [handler.process_batches([batch],
+                                                training=True)[0]
+                        for _ in range(2)]
+
+    assert h_shmap._shmap_steps, "shard_map step never built"
+    assert not h_gspmd._shmap_steps
+    np.testing.assert_allclose(losses["shmap"], losses["gspmd"],
+                               rtol=1e-5)
+    p_g, p_s = _flat(h_gspmd.params), _flat(h_shmap.params)
+    assert p_g.keys() == p_s.keys()
+    # atol covers lr x bf16-rounding grad noise: GSPMD and shard_map
+    # split some bf16 matmul accumulations differently even on the
+    # same mesh (grads agree to ~2e-4 abs; x lr 0.01 x 2 steps ->
+    # ~4e-6 params).
+    for path in p_g:
+        np.testing.assert_allclose(p_s[path], p_g[path], rtol=1e-3,
+                                   atol=1e-5, err_msg=path)
+
+
+def test_shard_map_step_runs_pallas_kernels(monkeypatch):
+    """With force_interpret the per-device shard_map program traces the
+    REAL Pallas kernel bodies (the production multi-chip TPU path), and
+    training stays within bf16 rounding of the GSPMD scan run.  The
+    residual tolerance is a CPU artifact: the interpret kernel pins f32
+    MXU accumulation while the CPU scan einsum accumulates in bf16 —
+    on TPU hardware both accumulate f32 and the kernel is bit-exact
+    (test_pallas_lstm.py)."""
+    from idiaptts_tpu.ops import pallas_lstm
+
+    calls = {"n": 0}
+    orig_layer, orig_rec = (pallas_lstm._layer_tmajor,
+                            pallas_lstm._recurrence_tmajor)
+    monkeypatch.setattr(
+        pallas_lstm, "_layer_tmajor",
+        lambda *a, **k: (calls.__setitem__("n", calls["n"] + 1),
+                         orig_layer(*a, **k))[1])
+    monkeypatch.setattr(
+        pallas_lstm, "_recurrence_tmajor",
+        lambda *a, **k: (calls.__setitem__("n", calls["n"] + 1),
+                         orig_rec(*a, **k))[1])
+
+    batch = _make_batch()
+    h_gspmd = _make_handler(num_devices=8, use_shard_map=False)
+    h_shmap = _make_handler(num_devices=8, use_shard_map=True)
+
+    loss_g = [h_gspmd.process_batches([batch], training=True)[0]
+              for _ in range(2)]
+    assert calls["n"] == 0, "GSPMD path must not trace kernels"
+    with pallas_ctx.force_interpret():
+        loss_s = [h_shmap.process_batches([batch], training=True)[0]
+                  for _ in range(2)]
+    assert calls["n"] > 0, \
+        "Pallas kernel path not traced inside the shard_map program"
+
+    np.testing.assert_allclose(loss_s, loss_g, rtol=2e-2)
+    # First pre-update loss is identical (forward parity before any
+    # bf16-accumulation drift can compound through the optimiser).
+    np.testing.assert_allclose(loss_s[0], loss_g[0], rtol=1e-5)
+
+
+@pytest.mark.parametrize("interpret,rtol", [(False, 1e-2), (True, 2e-2)])
+def test_shard_map_gradients_match_scan_path(interpret, rtol):
+    """The pmean'd shard_map gradients equal the GSPMD-sharded gradient
+    of the handler's loss over the SAME dp(8) mesh, to bf16 rounding
+    scale.  Bit-level identity is not achievable: every layer's matmul
+    takes bf16 inputs, and GSPMD reduces the weight-gradient partial
+    sums (x^T @ dy over batch*time rows) in a different order than the
+    explicit per-shard-sum + psum, so the two programs differ at bf16
+    epsilon (~0.3% rel measured) even when both bodies run the scan.
+    The *exactness of the harness math* (gather-then-loss keeps global
+    mask denominators; pmean yields the global grad, not an average of
+    per-shard means) is proven by ``test_shard_map_step_matches_gspmd``
+    at rtol 1e-5 on the LOSS — an averaging bug with these variable
+    lengths would show >10% error there.  This test additionally locks
+    the gradients themselves at bf16 scale, with the per-device body
+    running the scan (interpret=False) and the REAL Pallas kernels
+    (interpret=True)."""
+    batch = _make_batch()
+    handler = _make_handler(num_devices=8, use_shard_map=True)
+    data, lengths = handler._batch_to_model_input(batch)
+
+    rngs = {"dropout": jax.random.PRNGKey(7),
+            "latent": jax.random.PRNGKey(7)}
+    grad_fn = jax.jit(jax.grad(
+        lambda p, d, l: handler._loss_fn(p, None, d, l, rngs,
+                                         0, True)[0]))
+
+    # Oracles: the same gradient as one global program, and GSPMD-
+    # sharded over the dp(8) mesh (the batch split the shard_map step
+    # uses).
+    want_global = _flat(grad_fn(handler.params, data, lengths))
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P0
+    shard = NamedSharding(handler.mesh, P0(handler.axis_name))
+    data_s = {k: jax.device_put(v, shard) for k, v in data.items()}
+    lengths_s = (
+        {k: jax.device_put(v, shard) for k, v in lengths.items()}
+        if isinstance(lengths, dict)
+        else jax.device_put(lengths, shard))
+    want = _flat(grad_fn(handler.params, data_s, lengths_s))
+
+    # shard_map gradients, extracted via a probe body identical to the
+    # train step's loss/gather/psum sequence.
+    from jax.sharding import PartitionSpec as P
+
+    axis = handler.axis_name
+
+    def probe(params, batch_data, lengths):
+        def loss_fn(p):
+            flat_out, _, _ = handler._apply_model(
+                p, None, batch_data, lengths, rngs, True)
+            gathered = {
+                k: (jax.lax.all_gather(v, axis, axis=0, tiled=True)
+                    if getattr(v, "ndim", 0) >= 1 else v)
+                for k, v in flat_out.items()}
+            total, _ = handler._losses_total(gathered, 0)
+            return total
+        # pmean: the replicated loss adjoint makes each device's grad
+        # ndev * its shard's contribution (see handler comment).
+        return jax.lax.pmean(jax.grad(loss_fn)(params), axis)
+
+    bspec = {k: P(axis) for k in data}
+    lspec = ({k: P(axis) for k in lengths}
+             if isinstance(lengths, dict) else P(axis))
+    got_fn = jax.jit(jax.shard_map(
+        probe, mesh=handler.mesh, in_specs=(P(), bspec, lspec),
+        out_specs=P(), check_vma=False))
+    if interpret:
+        with (pallas_ctx.force_interpret(),
+              pallas_ctx.force_single_device()):
+            got = _flat(got_fn(handler.params, data, lengths))
+    else:
+        got = _flat(got_fn(handler.params, data, lengths))
+
+    for path in want:
+        np.testing.assert_allclose(got[path], want[path], rtol=rtol,
+                                   atol=1e-4, err_msg=path)
+        # bf16-scale bound vs the unsharded global program (documents
+        # that the sharded/global difference is rounding, not math).
+        np.testing.assert_allclose(got[path], want_global[path],
+                                   rtol=2e-2, atol=5e-4, err_msg=path)
+
+
+def test_shard_map_nondivisible_batch_falls_back_to_gspmd():
+    """A batch whose leading dim does not divide the mesh (the last
+    batch of an epoch) silently uses the GSPMD step — training still
+    produces a finite loss and no shard_map step is cached for it."""
+    handler = _make_handler(num_devices=8, use_shard_map=True)
+    batch = _make_batch(B=6, lengths=(17, 23, 9, 30, 21, 13))
+    total, _ = handler.process_batches([batch], training=True)
+    assert np.isfinite(total)
+    assert not handler._shmap_steps
+
+
+def test_auto_mode_is_off_on_cpu():
+    """use_shard_map='auto' resolves to GSPMD on the CPU backend (the
+    kernels are scan fallbacks there) but honours force_interpret."""
+    handler = _make_handler(num_devices=8, use_shard_map="auto")
+    assert not handler._shard_map_enabled()
+    with pallas_ctx.force_interpret():
+        assert handler._shard_map_enabled()
