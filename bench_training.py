@@ -98,14 +98,35 @@ def main():
     infer_elapsed = (time.time() - t0) / runs
     infer_fps = B * T / infer_elapsed
 
+    # Analytic model matmul FLOPs per frame for the benchmark
+    # architecture (2_RELU_1024-3_BiLSTM_512-1_FC_67, D_in=409):
+    # dense layers 2*D_in*D_out; BiLSTM layers, per direction,
+    # projection 2*D*4F + recurrence 2*F*4F.  Training = 3x forward
+    # (dL/dx and dL/dW each cost one forward-sized matmul set).
+    F = 512
+    fwd_flops_per_frame = (
+        2 * (D_in * 1024 + 1024 * 1024)              # RELU stack
+        + 3 * 2 * (2 * 1024 * 4 * F + 2 * F * 4 * F)  # 3 BiLSTMs
+        + 2 * 1024 * D_out)                           # FC head
+    train_tflops = 3 * fwd_flops_per_frame * train_fps / 1e12
+    infer_tflops = fwd_flops_per_frame * infer_fps / 1e12
+    peak = 197.0      # v5e bf16 peak TF/s
     print(json.dumps({"metric": "acoustic training throughput",
                       "value": round(train_fps),
                       "unit": "frames/sec per chip",
-                      "vs_baseline": None}))
+                      "vs_baseline": None,
+                      "detail": {"model_tflops_per_s":
+                                 round(train_tflops, 2),
+                                 "mfu_vs_197tf_peak":
+                                 round(train_tflops / peak, 3)}}))
     print(json.dumps({"metric": "acoustic inference throughput",
                       "value": round(infer_fps),
                       "unit": "frames/sec per chip",
-                      "vs_baseline": None}))
+                      "vs_baseline": None,
+                      "detail": {"model_tflops_per_s":
+                                 round(infer_tflops, 2),
+                                 "mfu_vs_197tf_peak":
+                                 round(infer_tflops / peak, 3)}}))
 
     _bench_wavenet_sampling()
     _bench_reference_surface_synth()

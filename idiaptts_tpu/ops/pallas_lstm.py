@@ -156,6 +156,224 @@ def _recurrence_tmajor(xp_t, wh_cat, interpret=False):
     return out[:T]
 
 
+def _bilstm_kernel_train(xp_ref, wh_ref, out_ref, a_ref, cout_ref,
+                         h_ref, c_ref):
+    """Training-mode recurrence: identical math (and bit-identical h)
+    to ``_bilstm_kernel``, additionally streaming out the backward
+    kernel's residuals — post-activation gates [i,f,g,o] and cell
+    states.  Only ever run under differentiation (custom_vjp fwd), so
+    inference pays none of the extra HBM writes."""
+    tb = xp_ref.shape[0]
+    F = wh_ref.shape[0] // 2
+    Bp2 = h_ref.shape[0]
+    Bp = Bp2 // 2
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        h_ref[...] = jnp.zeros_like(h_ref)
+        c_ref[...] = jnp.zeros_like(c_ref)
+
+    def step(t, _):
+        rec = jnp.dot(h_ref[...].astype(jnp.bfloat16), wh_ref[...],
+                      preferred_element_type=jnp.float32)
+        gates = xp_ref[t] + rec                    # (2*B_pad, 4F)
+        i = jax.nn.sigmoid(gates[:, 0 * F:1 * F])
+        f = jax.nn.sigmoid(gates[:, 1 * F:2 * F] + 1.0)
+        g = jnp.tanh(gates[:, 2 * F:3 * F])
+        o = jax.nn.sigmoid(gates[:, 3 * F:4 * F])
+        c = f * c_ref[...] + i * g
+        h = o * jnp.tanh(c)
+        a_ref[t, :, 0 * F:1 * F] = i
+        a_ref[t, :, 1 * F:2 * F] = f
+        a_ref[t, :, 2 * F:3 * F] = g
+        a_ref[t, :, 3 * F:4 * F] = o
+        cout_ref[t] = c
+        c_ref[...] = c
+        h_ref[0:Bp, 0:F] = h[0:Bp]
+        h_ref[Bp:Bp2, F:2 * F] = h[Bp:Bp2]
+        out_ref[t] = h
+        return 0
+
+    jax.lax.fori_loop(0, tb, step, 0, unroll=True)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _recurrence_train_tmajor(xp_t, wh_cat, interpret=False):
+    """Train-mode driver: returns (h, gates, cells), each time-major.
+    Caller must have checked ``_pick_time_block(..., train=True)``."""
+    T, R, G = xp_t.shape
+    F = G // 4
+    TB = max(_pick_time_block(R, F, G, train=True), 1)
+    T_pad = int(np.ceil(T / TB) * TB)
+    xp_t = jnp.pad(xp_t, ((0, T_pad - T), (0, 0), (0, 0)))
+
+    out, a, c = pl.pallas_call(
+        _bilstm_kernel_train,
+        grid=(T_pad // TB,),
+        out_shape=(
+            jax.ShapeDtypeStruct((T_pad, R, F), jnp.float32),
+            jax.ShapeDtypeStruct((T_pad, R, G), jnp.float32),
+            jax.ShapeDtypeStruct((T_pad, R, F), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec((TB, R, G), lambda i: (i, 0, 0)),
+            pl.BlockSpec((2 * F, G), lambda i: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((TB, R, F), lambda i: (i, 0, 0)),
+            pl.BlockSpec((TB, R, G), lambda i: (i, 0, 0)),
+            pl.BlockSpec((TB, R, F), lambda i: (i, 0, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((R, 2 * F), jnp.float32),
+            pltpu.VMEM((R, F), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(xp_t, wh_cat.astype(jnp.bfloat16))
+    return out[:T], a[:T], c[:T]
+
+
+def _pick_bwd_time_block(R, F):
+    """Largest TB <= _TIME_BLOCK for the backward kernel: resident
+    Wh^T (4F, 2F) bf16, f32 dh/dc carries, and double-buffered streams
+    of gates + cells + shifted cells + output cotangent in, dz out."""
+    R = int(np.ceil(max(R, 1) / 8) * 8)
+    G = 4 * F
+    weights = G * 2 * F * 2
+    carry = R * 2 * F * 4
+    per_tb = R * (2 * G + 3 * F) * 4 * 2
+    budget = _VMEM_BUDGET - weights - carry
+    if budget < per_tb:
+        return 0
+    return int(min(_TIME_BLOCK, budget // per_tb))
+
+
+def _bilstm_bwd_kernel(a_ref, c_ref, cprev_ref, gout_ref, whT_ref,
+                       dz_ref, dh_ref, dc_ref, dz_s):
+    """Reverse-time LSTM backward: the SEQUENTIAL part only.
+
+    Walks the time blocks in reverse grid order (index maps reverse the
+    block index) and each block's steps newest-first, carrying the
+    recurrent cotangents dh/dc in VMEM.  Per step: VPU gate-derivative
+    math on the saved activations, then ONE block-diagonal matmul
+    ``dz @ Wh_cat^T`` feeding both directions' dh (same packing trick
+    as the forward).  Everything non-sequential — dWh/dWx/dx/db — is
+    left to large XLA matmuls outside the kernel, where the MXU gets
+    full T*R-row tiles.
+
+    a_ref:     (TB, R, 4F) f32  post-activation gates [i, f, g, o]
+    c_ref:     (TB, R, F) f32   cell states c_t
+    cprev_ref: (TB, R, F) f32   c_{t-1} (zeros at t=0)
+    gout_ref:  (TB, R, F) f32   upstream cotangent dL/dh_t
+    whT_ref:   (4F, 2F) bf16    Wh_cat^T, VMEM-resident
+    dz_ref:    (TB, R, 4F) f32  out: pre-activation gate cotangents
+    dh_ref:    (R, F) f32       carry: recurrent dh (per-row direction)
+    dc_ref:    (R, F) f32       carry: dc
+    dz_s:      (R, 4F) f32      scratch: current step's dz
+    """
+    tb = a_ref.shape[0]
+    F = whT_ref.shape[1] // 2
+    Bp2 = dh_ref.shape[0]
+    Bp = Bp2 // 2
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dh_ref[...] = jnp.zeros_like(dh_ref)
+        dc_ref[...] = jnp.zeros_like(dc_ref)
+
+    def step(k, _):
+        t = tb - 1 - k
+        a = a_ref[t]
+        i = a[:, 0 * F:1 * F]
+        f = a[:, 1 * F:2 * F]
+        g = a[:, 2 * F:3 * F]
+        o = a[:, 3 * F:4 * F]
+        tc = jnp.tanh(c_ref[t])
+        dh_tot = gout_ref[t] + dh_ref[...]
+        dc = dc_ref[...] + dh_tot * o * (1.0 - tc * tc)
+        dz_s[:, 0 * F:1 * F] = dc * g * (i * (1.0 - i))
+        dz_s[:, 1 * F:2 * F] = dc * cprev_ref[t] * (f * (1.0 - f))
+        dz_s[:, 2 * F:3 * F] = dc * i * (1.0 - g * g)
+        dz_s[:, 3 * F:4 * F] = dh_tot * tc * (o * (1.0 - o))
+        dc_ref[...] = dc * f
+        dz = dz_s[...]
+        dz_ref[t] = dz
+        # One matmul serves both directions: Wh_cat^T's column blocks
+        # [0:F] / [F:2F] are W_f^T / W_b^T, and each row's direction
+        # reads only its own block (the cross block multiplies the
+        # other direction's weights — discarded).
+        dhp = jnp.dot(dz.astype(jnp.bfloat16), whT_ref[...],
+                      preferred_element_type=jnp.float32)
+        dh_ref[0:Bp, :] = dhp[0:Bp, 0:F]
+        dh_ref[Bp:Bp2, :] = dhp[Bp:Bp2, F:2 * F]
+        return 0
+
+    jax.lax.fori_loop(0, tb, step, 0, unroll=True)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _dz_bwd_tmajor(a, c, gout, wh_cat, interpret=False):
+    """Backward-kernel driver: pre-activation gate cotangents dz
+    (T, R, 4F) from the saved residuals and the upstream cotangent.
+    Caller must have checked ``_pick_bwd_time_block``."""
+    T, R, G = a.shape
+    F = G // 4
+    TB = max(_pick_bwd_time_block(R, F), 1)
+    T_pad = int(np.ceil(T / TB) * TB)
+    cprev = jnp.concatenate([jnp.zeros_like(c[:1]), c[:-1]], axis=0)
+    pad = ((0, T_pad - T), (0, 0), (0, 0))
+    # Zero padding keeps the carries exact: padded steps see zero
+    # gates/cotangents, so dz=0 and dh/dc stay untouched through them.
+    a = jnp.pad(a, pad)
+    c = jnp.pad(c, pad)
+    cprev = jnp.pad(cprev, pad)
+    gout = jnp.pad(gout, pad)
+    nb = T_pad // TB
+
+    def rev(i):
+        return (nb - 1 - i, 0, 0)
+
+    dz = pl.pallas_call(
+        _bilstm_bwd_kernel,
+        grid=(nb,),
+        out_shape=jax.ShapeDtypeStruct((T_pad, R, G), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((TB, R, G), rev),
+            pl.BlockSpec((TB, R, F), rev),
+            pl.BlockSpec((TB, R, F), rev),
+            pl.BlockSpec((TB, R, F), rev),
+            pl.BlockSpec((G, 2 * F), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((TB, R, G), rev),
+        scratch_shapes=[
+            pltpu.VMEM((R, F), jnp.float32),
+            pltpu.VMEM((R, F), jnp.float32),
+            pltpu.VMEM((R, G), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(a, c, cprev, gout, jnp.transpose(wh_cat).astype(jnp.bfloat16))
+    return dz[:T]
+
+
+def _dwh_from_dz(h, dz, F):
+    """dWh_cat = sum_t h_cat[t-1]^T @ dz[t], per direction, as two
+    large MXU matmuls (T*R contraction rows) — bf16 inputs, f32
+    accumulation, the same rounding class as the forward matmuls."""
+    Bp = h.shape[1] // 2
+    hprev = jnp.concatenate([jnp.zeros_like(h[:1]), h[:-1]],
+                            axis=0).astype(jnp.bfloat16)
+    dz16 = dz.astype(jnp.bfloat16)
+    dwh_f = jnp.einsum("trf,trg->fg", hprev[:, :Bp], dz16[:, :Bp],
+                       preferred_element_type=jnp.float32)
+    dwh_b = jnp.einsum("trf,trg->fg", hprev[:, Bp:], dz16[:, Bp:],
+                       preferred_element_type=jnp.float32)
+    return jnp.concatenate([dwh_f, dwh_b], axis=0)
+
+
 def pallas_viable(B, F):
     """True when the kernel beats the scan for this shape: lane-aligned
     gates and a batch small enough that full time blocks fit VMEM
@@ -242,10 +460,12 @@ def _interpret_now():
 @jax.custom_vjp
 def bilstm_recurrence_tmajor(xp_t, wh_cat):
     """Differentiable fused recurrence on time-major projections:
-    Pallas kernel forward, scan VJP backward (the backward chain is the
-    same sequential recurrence; the scan's VJP recomputes activations
-    and differentiates — identical gradients to the pure-scan path at
-    forward-recompute cost).
+    Pallas kernel forward AND backward.  Under differentiation the
+    train-mode forward additionally streams out post-activation gates
+    and cell states, and the backward runs the reverse-time Pallas
+    kernel on them (no forward recompute); dWh is two large MXU
+    matmuls on the saved states.  Falls back to the scan VJP when the
+    residual working set cannot fit VMEM.
 
     xp_t: (T, 2*B_pad, 4F) f32; wh_cat: (2F, 4F).  -> (T, 2*B_pad, F).
     """
@@ -253,14 +473,25 @@ def bilstm_recurrence_tmajor(xp_t, wh_cat):
 
 
 def _bilstm_fwd(xp_t, wh_cat):
-    return (_recurrence_tmajor(xp_t, wh_cat, interpret=_interpret_now()),
-            (xp_t, wh_cat))
+    interp = _interpret_now()
+    T, R, G = xp_t.shape
+    F = G // 4
+    if (_pick_time_block(R, F, G, train=True) >= 1
+            and _pick_bwd_time_block(R, F) >= 1):
+        h, a, c = _recurrence_train_tmajor(xp_t, wh_cat,
+                                           interpret=interp)
+        return h, (None, wh_cat, h, a, c)
+    return (_recurrence_tmajor(xp_t, wh_cat, interpret=interp),
+            (xp_t, wh_cat, None, None, None))
 
 
 def _bilstm_bwd(res, g):
-    xp_t, wh_cat = res
-    _, vjp = jax.vjp(_scan_tmajor, xp_t, wh_cat)
-    return vjp(g)
+    xp_t, wh_cat, h, a, c = res
+    if a is None:
+        _, vjp = jax.vjp(_scan_tmajor, xp_t, wh_cat)
+        return vjp(g)
+    dz = _dz_bwd_tmajor(a, c, g, wh_cat, interpret=_interpret_now())
+    return dz, _dwh_from_dz(h, dz, wh_cat.shape[0] // 2)
 
 
 bilstm_recurrence_tmajor.defvjp(_bilstm_fwd, _bilstm_bwd)
@@ -350,8 +581,9 @@ def _bilstm_layer_kernel(xin_ref, wx_ref, wh_ref, b_ref, out_ref,
     jax.lax.fori_loop(0, tb, step, 0, unroll=True)
 
 
-def _pick_layer_time_block(R, D, F):
-    """Largest TB <= _TIME_BLOCK for the fused-projection kernel."""
+def _pick_layer_time_block(R, D, F, train=False):
+    """Largest TB <= _TIME_BLOCK for the fused-projection kernel.
+    ``train`` adds the gate/cell residual outputs."""
     R = int(np.ceil(max(R, 1) / 8) * 8)
     Dp = int(np.ceil(max(D, 1) / 8) * 8)
     G = 4 * F
@@ -359,6 +591,8 @@ def _pick_layer_time_block(R, D, F):
     carry = R * (2 * F + F) * 4
     # per-TB: bf16 in + f32 out, double-buffered, + f32 xp scratch
     per_tb = R * (Dp * 2 + F * 4) * 2 + R * G * 4
+    if train:
+        per_tb += R * (G + F) * 4 * 2             # gate + cell residuals
     budget = _VMEM_BUDGET - weights - carry
     if budget < per_tb:
         return 0
@@ -441,24 +675,151 @@ def _scan_layer_tmajor(xin_t, wx, wh_cat, b):
     return jnp.transpose(out, (2, 0, 1, 3)).reshape(T, R, F)
 
 
+def _bilstm_layer_kernel_train(xin_ref, wx_ref, wh_ref, b_ref, out_ref,
+                               a_ref, cout_ref, xp_ref, h_ref, c_ref):
+    """Training-mode fused layer: identical math (and bit-identical h)
+    to ``_bilstm_layer_kernel``, additionally streaming out the
+    backward residuals (post-activation gates + cell states)."""
+    tb = xin_ref.shape[0]
+    D = xin_ref.shape[2]
+    F = wh_ref.shape[0] // 2
+    Bp2 = h_ref.shape[0]
+    Bp = Bp2 // 2
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        h_ref[...] = jnp.zeros_like(h_ref)
+        c_ref[...] = jnp.zeros_like(c_ref)
+
+    xv = xin_ref[...]
+    for d in range(2):
+        xd = xv[:, d * Bp:(d + 1) * Bp, :].reshape(tb * Bp, D)
+        m = jnp.dot(xd, wx_ref[d],
+                    preferred_element_type=jnp.float32)
+        m = m.astype(jnp.bfloat16).astype(jnp.float32)
+        xp_ref[:, d * Bp:(d + 1) * Bp, :] = \
+            m.reshape(tb, Bp, 4 * F) + b_ref[d]
+
+    def step(t, _):
+        rec = jnp.dot(h_ref[...].astype(jnp.bfloat16), wh_ref[...],
+                      preferred_element_type=jnp.float32)
+        gates = xp_ref[t] + rec
+        i = jax.nn.sigmoid(gates[:, 0 * F:1 * F])
+        f = jax.nn.sigmoid(gates[:, 1 * F:2 * F] + 1.0)
+        g = jnp.tanh(gates[:, 2 * F:3 * F])
+        o = jax.nn.sigmoid(gates[:, 3 * F:4 * F])
+        c = f * c_ref[...] + i * g
+        h = o * jnp.tanh(c)
+        a_ref[t, :, 0 * F:1 * F] = i
+        a_ref[t, :, 1 * F:2 * F] = f
+        a_ref[t, :, 2 * F:3 * F] = g
+        a_ref[t, :, 3 * F:4 * F] = o
+        cout_ref[t] = c
+        c_ref[...] = c
+        h_ref[0:Bp, 0:F] = h[0:Bp]
+        h_ref[Bp:Bp2, F:2 * F] = h[Bp:Bp2]
+        out_ref[t] = h
+        return 0
+
+    jax.lax.fori_loop(0, tb, step, 0, unroll=True)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _layer_train_tmajor(xin_t, wx, wh_cat, b, interpret=False):
+    """Train-mode fused-layer driver: returns (h, gates, cells).
+    Caller must have checked ``_pick_layer_time_block(train=True)``."""
+    T, R, D = xin_t.shape
+    F = wh_cat.shape[0] // 2
+    G = 4 * F
+    TB = max(_pick_layer_time_block(R, D, F, train=True), 1)
+    T_pad = int(np.ceil(T / TB) * TB)
+    xin_t = jnp.pad(xin_t, ((0, T_pad - T), (0, 0), (0, 0)))
+
+    out, a, c = pl.pallas_call(
+        _bilstm_layer_kernel_train,
+        grid=(T_pad // TB,),
+        out_shape=(
+            jax.ShapeDtypeStruct((T_pad, R, F), jnp.float32),
+            jax.ShapeDtypeStruct((T_pad, R, G), jnp.float32),
+            jax.ShapeDtypeStruct((T_pad, R, F), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec((TB, R, D), lambda i: (i, 0, 0)),
+            pl.BlockSpec((2, D, G), lambda i: (0, 0, 0)),
+            pl.BlockSpec((2 * F, G), lambda i: (0, 0)),
+            pl.BlockSpec((2, G), lambda i: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((TB, R, F), lambda i: (i, 0, 0)),
+            pl.BlockSpec((TB, R, G), lambda i: (i, 0, 0)),
+            pl.BlockSpec((TB, R, F), lambda i: (i, 0, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((TB, R, G), jnp.float32),
+            pltpu.VMEM((R, 2 * F), jnp.float32),
+            pltpu.VMEM((R, F), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(xin_t, wx.astype(jnp.bfloat16), wh_cat.astype(jnp.bfloat16),
+      b.astype(jnp.float32))
+    return out[:T], a[:T], c[:T]
+
+
 @jax.custom_vjp
 def bilstm_layer_tmajor(xin_t, wx, wh_cat, b):
     """Differentiable fused BiLSTM layer (projection + recurrence):
-    Pallas forward, scan VJP backward (identical gradients to the
-    scan path at forward-recompute cost)."""
+    Pallas forward AND backward.  Under differentiation the train-mode
+    forward additionally saves post-activation gates + cell states; the
+    backward runs the reverse-time Pallas kernel for the sequential dz
+    chain and computes dWx/dWh/dx/db as large MXU matmuls on the
+    saved residuals (no forward recompute).  Falls back to the scan
+    VJP when the residual working set cannot fit VMEM."""
     return _layer_tmajor(xin_t, wx, wh_cat, b,
                          interpret=_interpret_now())
 
 
 def _layer_fwd(xin_t, wx, wh_cat, b):
-    return (_layer_tmajor(xin_t, wx, wh_cat, b,
-                          interpret=_interpret_now()),
-            (xin_t, wx, wh_cat, b))
+    interp = _interpret_now()
+    T, R, D = xin_t.shape
+    F = wh_cat.shape[0] // 2
+    if (_pick_layer_time_block(R, D, F, train=True) >= 1
+            and _pick_bwd_time_block(R, F) >= 1):
+        h, a, c = _layer_train_tmajor(xin_t, wx, wh_cat, b,
+                                      interpret=interp)
+        return h, (xin_t, wx, wh_cat, None, h, a, c)
+    return (_layer_tmajor(xin_t, wx, wh_cat, b, interpret=interp),
+            (xin_t, wx, wh_cat, b, None, None, None))
 
 
 def _layer_bwd(res, g):
-    _, vjp = jax.vjp(_scan_layer_tmajor, *res)
-    return vjp(g)
+    xin_t, wx, wh_cat, b, h, a, c = res
+    if a is None:
+        _, vjp = jax.vjp(_scan_layer_tmajor, xin_t, wx, wh_cat, b)
+        return vjp(g)
+    F = wh_cat.shape[0] // 2
+    Bp = xin_t.shape[1] // 2
+    dz = _dz_bwd_tmajor(a, c, g, wh_cat, interpret=_interpret_now())
+    dwh = _dwh_from_dz(h, dz, F)
+    dz16 = dz.astype(jnp.bfloat16)
+    wx16 = wx.astype(jnp.bfloat16)
+    # Projection gradients as full-size MXU matmuls (T*R contraction /
+    # batch rows) — bf16 inputs, f32 accumulation, matching the scan
+    # VJP's rounding class.
+    dwx = jnp.stack([
+        jnp.einsum("trd,trg->dg", xin_t[:, :Bp], dz16[:, :Bp],
+                   preferred_element_type=jnp.float32),
+        jnp.einsum("trd,trg->dg", xin_t[:, Bp:], dz16[:, Bp:],
+                   preferred_element_type=jnp.float32)])
+    db = jnp.stack([jnp.sum(dz[:, :Bp], axis=(0, 1)),
+                    jnp.sum(dz[:, Bp:], axis=(0, 1))])
+    dx_f = jnp.einsum("trg,dg->trd", dz16[:, :Bp], wx16[0],
+                      preferred_element_type=jnp.float32)
+    dx_b = jnp.einsum("trg,dg->trd", dz16[:, Bp:], wx16[1],
+                      preferred_element_type=jnp.float32)
+    dxin = jnp.concatenate([dx_f, dx_b], axis=1).astype(xin_t.dtype)
+    return dxin, dwx, dwh, db
 
 
 bilstm_layer_tmajor.defvjp(_layer_fwd, _layer_bwd)

@@ -85,11 +85,8 @@ def test_fused_layer_matches_scan(B, T, D, F):
                                rtol=0, atol=2e-6)
 
 
-def test_fused_layer_vjp_matches_scan_gradients():
-    from idiaptts_tpu.ops import pallas_lstm
-
-    Bp, T, D, F = 8, 12, 128, 128
-    rs = np.random.RandomState(4)
+def _layer_inputs(Bp=8, T=12, D=128, F=128, seed=4):
+    rs = np.random.RandomState(seed)
     xin = jnp.asarray(
         rs.randn(T, 2 * Bp, D).astype(np.float32) * 0.3
     ).astype(jnp.bfloat16)
@@ -97,25 +94,62 @@ def test_fused_layer_vjp_matches_scan_gradients():
     wh_cat = jnp.asarray(
         rs.randn(2 * F, 4 * F).astype(np.float32) * 0.02)
     b = jnp.asarray(rs.randn(2, 4 * F).astype(np.float32) * 0.1)
+    return xin, wx, wh_cat, b
+
+
+def test_train_mode_forward_matches_inference_kernel():
+    """The residual-saving forward kernels return bit-identical hidden
+    states to the inference kernels, and the saved gates/cells satisfy
+    the LSTM state equations."""
+    from idiaptts_tpu.ops import pallas_lstm
+
+    xin, wx, wh_cat, b = _layer_inputs(T=19)
+    h_inf = pallas_lstm._layer_tmajor(xin, wx, wh_cat, b,
+                                      interpret=True)
+    h, a, c = pallas_lstm._layer_train_tmajor(xin, wx, wh_cat, b,
+                                              interpret=True)
+    np.testing.assert_array_equal(np.asarray(h), np.asarray(h_inf))
+    F = 128
+    a, c, h = map(np.asarray, (a, c, h))
+    i, f, g, o = (a[..., k * F:(k + 1) * F] for k in range(4))
+    cprev = np.concatenate([np.zeros_like(c[:1]), c[:-1]])
+    np.testing.assert_allclose(f * cprev + i * g, c, atol=1e-6)
+    np.testing.assert_allclose(o * np.tanh(c), h, atol=1e-6)
+
+
+def test_fused_layer_backward_matches_scan_gradients():
+    """jax.grad through bilstm_layer_tmajor (train-mode Pallas forward
+    + reverse-time Pallas backward, interpret mode) equals the scan
+    path's gradients.  Tolerances are bf16-matmul rounding: dz rides
+    the MXU in bf16 for dWh/dWx/dx, and the scan VJP rounds dh through
+    bf16 per step where the kernel carries f32."""
+    from idiaptts_tpu.ops import pallas_lstm
+    from idiaptts_tpu.ops import pallas_ctx
+
+    xin, wx, wh_cat, b = _layer_inputs()
 
     def loss_scan(*args):
         return jnp.sum(pallas_lstm._scan_layer_tmajor(*args) ** 2)
 
+    def loss_fused(*args):
+        return jnp.sum(pallas_lstm.bilstm_layer_tmajor(*args) ** 2)
+
     g_ref = jax.grad(loss_scan, argnums=(0, 1, 2, 3))(xin, wx, wh_cat,
                                                       b)
-    g = pallas_lstm._layer_bwd(
-        (xin, wx, wh_cat, b),
-        2.0 * pallas_lstm._scan_layer_tmajor(xin, wx, wh_cat, b))
+    with pallas_ctx.force_interpret():
+        g = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(xin, wx, wh_cat,
+                                                       b)
     for got, ref in zip(g, g_ref):
         np.testing.assert_allclose(np.asarray(got, np.float32),
                                    np.asarray(ref, np.float32),
-                                   rtol=1e-4, atol=1e-4)
+                                   rtol=2e-2, atol=2e-3)
 
 
-def test_custom_vjp_matches_scan_gradients():
-    """bilstm_recurrence_tmajor's backward is the scan VJP: compare
-    against jax.grad of the equivalent scan directly."""
+def test_fused_recurrence_backward_matches_scan_gradients():
+    """jax.grad through bilstm_recurrence_tmajor with the fused
+    backward kernel equals the scan gradients (bf16-rounding scale)."""
     from idiaptts_tpu.ops import pallas_lstm
+    from idiaptts_tpu.ops import pallas_ctx
 
     Bp, T, F = 8, 16, 128
     rs = np.random.RandomState(1)
@@ -127,10 +161,41 @@ def test_custom_vjp_matches_scan_gradients():
     def loss_scan(xp, w):
         return jnp.sum(pallas_lstm._scan_tmajor(xp, w) ** 2)
 
+    def loss_fused(xp, w):
+        return jnp.sum(pallas_lstm.bilstm_recurrence_tmajor(xp, w) ** 2)
+
     g_ref = jax.grad(loss_scan, argnums=(0, 1))(xp_t, wh_cat)
-    g_x, g_w = pallas_lstm._bilstm_bwd(
-        (xp_t, wh_cat), 2.0 * pallas_lstm._scan_tmajor(xp_t, wh_cat))
+    with pallas_ctx.force_interpret():
+        g_x, g_w = jax.grad(loss_fused, argnums=(0, 1))(xp_t, wh_cat)
     np.testing.assert_allclose(np.asarray(g_x), np.asarray(g_ref[0]),
-                               rtol=1e-5, atol=1e-5)
+                               rtol=2e-2, atol=1e-4)
     np.testing.assert_allclose(np.asarray(g_w), np.asarray(g_ref[1]),
-                               rtol=1e-5, atol=1e-5)
+                               rtol=2e-2, atol=2e-3)
+
+
+def test_backward_falls_back_to_scan_vjp_when_not_viable(monkeypatch):
+    """When the backward working set cannot fit VMEM the custom_vjp
+    silently uses the scan VJP (forward-recompute) — gradients equal
+    the scan path exactly."""
+    from idiaptts_tpu.ops import pallas_lstm
+    from idiaptts_tpu.ops import pallas_ctx
+
+    monkeypatch.setattr(pallas_lstm, "_pick_bwd_time_block",
+                        lambda R, F: 0)
+    xin, wx, wh_cat, b = _layer_inputs()
+
+    def loss_scan(*args):
+        return jnp.sum(pallas_lstm._scan_layer_tmajor(*args) ** 2)
+
+    def loss_fused(*args):
+        return jnp.sum(pallas_lstm.bilstm_layer_tmajor(*args) ** 2)
+
+    g_ref = jax.grad(loss_scan, argnums=(0, 1, 2, 3))(xin, wx, wh_cat,
+                                                      b)
+    with pallas_ctx.force_interpret():
+        g = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(xin, wx, wh_cat,
+                                                       b)
+    for got, ref in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   rtol=1e-4, atol=1e-4)

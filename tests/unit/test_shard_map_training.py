@@ -127,16 +127,18 @@ def test_shard_map_step_runs_pallas_kernels(monkeypatch):
     from idiaptts_tpu.ops import pallas_lstm
 
     calls = {"n": 0}
-    orig_layer, orig_rec = (pallas_lstm._layer_tmajor,
-                            pallas_lstm._recurrence_tmajor)
-    monkeypatch.setattr(
-        pallas_lstm, "_layer_tmajor",
-        lambda *a, **k: (calls.__setitem__("n", calls["n"] + 1),
-                         orig_layer(*a, **k))[1])
-    monkeypatch.setattr(
-        pallas_lstm, "_recurrence_tmajor",
-        lambda *a, **k: (calls.__setitem__("n", calls["n"] + 1),
-                         orig_rec(*a, **k))[1])
+    # Count every kernel driver: training traces the residual-saving
+    # train variants (plus the backward kernel), inference the plain
+    # ones.
+    for name in ("_layer_tmajor", "_recurrence_tmajor",
+                 "_layer_train_tmajor", "_recurrence_train_tmajor",
+                 "_dz_bwd_tmajor"):
+        orig = getattr(pallas_lstm, name)
+        monkeypatch.setattr(
+            pallas_lstm, name,
+            lambda *a, _orig=orig, **k: (
+                calls.__setitem__("n", calls["n"] + 1),
+                _orig(*a, **k))[1])
 
     batch = _make_batch()
     h_gspmd = _make_handler(num_devices=8, use_shard_map=False)
