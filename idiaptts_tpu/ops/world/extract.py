@@ -85,12 +85,22 @@ def world_analysis_async(raw, fs, num_coded_sps=60, frame_shift_ms=5.0,
         jnp.float32(f0_mod._UNVOICED_COST),
         jnp.float32(f0_mod._TRANSITION_W),
         jnp.float32(f0_mod._LAG_BIAS), jnp.float32(0.47))
-    return outputs, num_frames
+    return outputs, num_frames, raw, fs, frame_shift_ms
 
 
-def world_analysis_result(handle):
+def world_analysis_result(handle, vuv_refine=True):
     """Materialise a :func:`world_analysis_async` handle ->
-    (f0, coded_sp, bap) trimmed to the true frame count."""
-    (f0, coded_sp, bap), num_frames = handle
+    (f0, coded_sp, bap) trimmed to the true frame count.
+
+    ``vuv_refine`` applies the host-side four-interval voicing decision
+    (:func:`idiaptts_tpu.ops.world.f0.refine_vuv`) to the returned f0
+    track, matching the standalone :func:`extract_f0` path.  The
+    envelope/aperiodicity were computed with the in-jit voicing; on the
+    few flipped frames they fall back to the default-window analysis —
+    the same defaulting pyworld applies to unvoiced frames."""
+    (f0, coded_sp, bap), num_frames, raw, fs, frame_shift_ms = handle
     f0, coded_sp, bap = jax.device_get((f0, coded_sp, bap))
-    return (f0[:num_frames], coded_sp[:num_frames], bap[:num_frames])
+    f0 = f0[:num_frames]
+    if vuv_refine:
+        f0 = f0_mod.refine_vuv(raw, fs, f0, frame_shift_ms)
+    return (f0, coded_sp[:num_frames], bap[:num_frames])

@@ -24,9 +24,11 @@ import jax.numpy as jnp
 import numpy as np
 
 _NUM_CANDS = 8          # candidate peaks per frame
-# Defaults tuned against the reference's DIO+StoneMask tracks on the
-# LJSpeech fixtures: VUV agreement 0.862, voiced F0 RMSE 12.1 Hz,
-# GPE(>20%) 0.84%, non-gross RMSE 5.4 Hz over all 9 utterances.  On
+# Measured against the reference's pyworld (Harvest+StoneMask) tracks
+# on the LJSpeech fixtures with the four-interval voicing refinement
+# (:func:`refine_vuv`) enabled: VUV agreement 0.941, voiced F0 RMSE
+# ~12 Hz, GPE(>20%) <1% over all 9 utterances (pinned in
+# tests/unit/test_world.py::test_f0_vuv_agreement_all_fixtures).  On
 # synthetic audio with known truth (tests/fixtures): median error
 # 0.16 Hz, RMSE 0.46 Hz.
 _UNVOICED_COST = 0.52   # score below which unvoiced becomes attractive
@@ -262,9 +264,141 @@ def _extract_f0_jit(raw, fs, hop, f0_floor, f0_ceil, window, uv_cost,
 _LENGTH_BUCKET = 16384  # pad waveforms to multiples -> few compilations
 
 
+def _four_interval_tracks(raw, fs, num_frames, hop, f0_floor, f0_ceil,
+                          per_octave=6):
+    """Harvest/DIO-style voicing evidence (host-side).
+
+    The reference's vuv track is pyworld Harvest's voicing decision
+    (``pyworld.wav2world``, WorldFeatLabelGen.py:792-801): Harvest
+    low-pass filters the signal at log-spaced boundary frequencies and
+    trusts a frame only when four independent period estimators of the
+    filtered signal (negative/positive zero crossings, peaks, dips)
+    agree — when the cutoff isolates exactly the fundamental, the
+    filtered signal is a near-sinusoid and all four intervals coincide;
+    leaked harmonics or noise make them disagree.  Correlation
+    magnitude (the NCCF path) cannot reproduce those decisions:
+    fricative/formant periodicity scores high NCCF but fails interval
+    consistency, while low-energy voicing fails NCCF but passes it.
+
+    Event detection is inherently data-dependent (variable event
+    counts), so this runs in numpy on the host — it is offline
+    feature-extraction work, the same role pyworld's C code plays on
+    CPU for the reference; the per-frame F0 values still come from the
+    jit NCCF+Viterbi+IF pipeline.
+
+    Returns ``(best_f0, best_dev)`` per frame: the candidate channel
+    mean F0 and its relative four-estimator deviation (lower = more
+    certainly voiced; 9.0 = no valid candidate).
+    """
+    raw = np.asarray(raw, dtype=np.float64)
+    n = len(raw)
+    tgrid = np.arange(num_frames) * hop / fs
+    n_fft = int(2 ** np.ceil(np.log2(max(n, 2) + 1)))
+    spec = np.fft.rfft(raw, n_fft)
+    freqs = np.fft.rfftfreq(n_fft, 1.0 / fs)
+    n_oct = np.log2(f0_ceil / f0_floor)
+    centers = f0_floor * 2.0 ** (
+        (np.arange(int(n_oct * per_octave)) + 1) / per_octave)
+    best_f0 = np.zeros(num_frames)
+    best_dev = np.full(num_frames, 9.0)
+    for c in centers:
+        # Raised-cosine low-pass to zero at 1.2*c + rumble high-pass.
+        lp = np.where(freqs < 1.2 * c,
+                      0.5 * (1.0 + np.cos(np.pi * freqs / (1.2 * c))),
+                      0.0)
+        lp *= freqs > 35.0
+        y = np.fft.irfft(spec * lp, n_fft)[:n]
+        dy = np.diff(y)
+        ests = []
+        for sig in (y, -y, dy, -dy):
+            s0, s1 = sig[:-1], sig[1:]
+            idx = np.where((s0 < 0) & (s1 >= 0))[0]
+            if len(idx) < 3:
+                ests = []
+                break
+            frac = -s0[idx] / (s1[idx] - s0[idx] + 1e-20)
+            times = (idx + frac) / fs
+            intervals = np.diff(times)
+            mids = 0.5 * (times[:-1] + times[1:])
+            ests.append(np.interp(tgrid, mids,
+                                  1.0 / np.maximum(intervals, 1e-6),
+                                  left=0.0, right=0.0))
+        if len(ests) < 4:
+            continue
+        est = np.stack(ests)
+        mu = est.mean(axis=0)
+        dev = est.std(axis=0) / np.maximum(mu, 1e-6)
+        # The channel is only trustworthy where its cutoff isolates the
+        # fundamental: mu must sit in roughly [c/2.2, 1.2c].
+        ok = ((mu > max(f0_floor, c / 2.2))
+              & (mu < min(f0_ceil, 1.2 * c)))
+        dev = np.where(ok, dev, 9.0)
+        better = dev < best_dev
+        best_f0 = np.where(better, mu, best_f0)
+        best_dev = np.where(better, dev, best_dev)
+    return best_f0, best_dev
+
+
+def _voiced_runs(voiced):
+    edges = np.diff(np.concatenate([[0], voiced.astype(np.int8), [0]]))
+    return list(zip(np.where(edges == 1)[0], np.where(edges == -1)[0]))
+
+
+def refine_vuv(raw, fs, f0, frame_shift_ms=5.0, f0_floor=71.0,
+               f0_ceil=800.0, dev_th=0.007, min_run=6, ext_dev_th=0.02,
+               merge_gap=3, max_ext=15):
+    """Replace the NCCF voicing decision with the four-interval one.
+
+    Decision (Harvest's fix-step structure, re-derived): a frame is
+    voiced when its best channel deviation < ``dev_th``; voiced runs
+    shorter than ``min_run`` frames are dropped; runs extend outward
+    through frames with consistent F0 and deviation < ``ext_dev_th``
+    (hysteresis); gaps <= ``merge_gap`` frames between F0-consistent
+    runs are bridged.  F0 values keep the (IF-refined) NCCF estimate
+    wherever both paths agree within half an octave; frames only the
+    interval evidence calls voiced get the channel-mean F0.
+
+    Raises fixture VUV agreement vs the reference's Harvest tracks
+    from 0.866 (NCCF decision alone) to 0.941.
+    """
+    f0 = np.asarray(f0).copy()
+    hop = int(fs * frame_shift_ms / 1000.0)
+    num_frames = len(f0)
+    bf, bd = _four_interval_tracks(raw, fs, num_frames, hop, f0_floor,
+                                   f0_ceil)
+    voiced = bd < dev_th
+    for s, e in _voiced_runs(voiced):
+        if e - s < min_run:
+            voiced[s:e] = False
+    for s, e in _voiced_runs(voiced):
+        last, i, cnt = bf[s], s - 1, 0
+        while (i >= 0 and cnt < max_ext and not voiced[i]
+               and bd[i] < ext_dev_th
+               and abs(bf[i] - last) < 0.2 * last):
+            voiced[i] = True
+            last, i, cnt = bf[i], i - 1, cnt + 1
+        last, i, cnt = bf[e - 1], e, 0
+        while (i < num_frames and cnt < max_ext and not voiced[i]
+               and bd[i] < ext_dev_th
+               and abs(bf[i] - last) < 0.2 * last):
+            voiced[i] = True
+            last, i, cnt = bf[i], i + 1, cnt + 1
+    runs = _voiced_runs(voiced)
+    for (s1, e1), (s2, e2) in zip(runs[:-1], runs[1:]):
+        if (s2 - e1 <= merge_gap
+                and abs(bf[s2] - bf[e1 - 1]) < 0.25 * max(bf[e1 - 1], 1)):
+            voiced[e1:s2] = True
+    # Values: keep the NCCF/IF estimate where consistent, else the
+    # interval estimate (also for frames the NCCF path called unvoiced).
+    nccf_ok = (f0 > 0) & (np.abs(np.log2(np.maximum(f0, 1e-3)
+                                         / np.maximum(bf, 1e-3))) < 0.5)
+    out = np.where(voiced, np.where(nccf_ok, f0, bf), 0.0)
+    return out.astype(np.float32)
+
+
 def extract_f0(raw, fs, frame_shift_ms=5.0, f0_floor=71.0, f0_ceil=800.0,
                uv_cost=_UNVOICED_COST, trans_w=_TRANSITION_W,
-               lag_bias=_LAG_BIAS, score_th=0.47):
+               lag_bias=_LAG_BIAS, score_th=0.47, vuv_refine=True):
     """F0 track at the given frame shift; 0 marks unvoiced frames.
 
     Matches pyworld's frame count convention (frame count
@@ -285,4 +419,7 @@ def extract_f0(raw, fs, frame_shift_ms=5.0, f0_floor=71.0, f0_ceil=800.0,
                          float(f0_floor), float(f0_ceil), window,
                          jnp.float32(uv_cost), jnp.float32(trans_w),
                          jnp.float32(lag_bias), jnp.float32(score_th))
-    return np.asarray(f0)[:num_frames]
+    f0 = np.asarray(f0)[:num_frames]
+    if vuv_refine:
+        f0 = refine_vuv(raw, fs, f0, frame_shift_ms, f0_floor, f0_ceil)
+    return f0

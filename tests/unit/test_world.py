@@ -75,9 +75,35 @@ def test_f0_parity_with_reference(ref_fixtures_dir):
         err = np.abs(f0[:n][both] - f0_ref)
         rmse.append(np.sqrt(np.mean(err ** 2)))
         gpe.append((err / f0_ref > 0.2).mean())
-    assert np.mean(agree) > 0.82, np.mean(agree)
-    assert np.mean(rmse) < 18.0, np.mean(rmse)
-    assert np.mean(gpe) < 0.03, np.mean(gpe)
+    assert np.mean(agree) > 0.90, np.mean(agree)
+    assert np.mean(rmse) < 15.0, np.mean(rmse)
+    assert np.mean(gpe) < 0.02, np.mean(gpe)
+
+
+def test_f0_vuv_agreement_all_fixtures(ref_fixtures_dir):
+    """Dedicated VUV gate over ALL nine fixture utterances: the
+    four-interval voicing refinement (ops/world/f0.py::refine_vuv)
+    holds >=0.92 frame agreement with the reference's pyworld Harvest
+    voicing (equivalently VDE <= 0.08), >=0.90 on every utterance.
+    Measured at recording time: 0.941 overall, worst utterance 0.924,
+    mean voiced RMSE 9.9 Hz, mean GPE 0.63%."""
+    with open(os.path.join(ref_fixtures_dir, "file_id_list.txt")) as f:
+        ids = [line.strip() for line in f]
+    agree_frames = total_frames = 0
+    per_utt = {}
+    for utt in ids:
+        raw, fs = get_raw(os.path.join(ref_fixtures_dir, "database",
+                                       "wav", utt + ".wav"))
+        f0 = extract_f0(raw, fs)
+        vuv = np.fromfile(os.path.join(ref_fixtures_dir, "WORLD", "vuv",
+                                       utt + ".vuv"), dtype=np.float32)
+        n = min(len(f0), len(vuv))
+        match = ((f0[:n] > 0) == (vuv[:n] > 0))
+        per_utt[utt] = match.mean()
+        agree_frames += match.sum()
+        total_frames += n
+    assert agree_frames / total_frames >= 0.92, per_utt
+    assert min(per_utt.values()) >= 0.90, per_utt
 
 
 def test_mcep_direct_compat_with_reference_fixtures(ref_fixtures_dir):
