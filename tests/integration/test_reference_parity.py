@@ -32,6 +32,17 @@ REF_ACOUSTIC_PINS = {"mcd": 8.616, "f0_rmse": 78.4, "vde": 0.609,
                      "bap": 37.352}
 REF_DURATION_RMSE_PIN = 14.954
 
+# Our recorded margins on the recording platform (virtual CPU,
+# 2026-08-20).  Pinning these — not just the reference caps — stops
+# parity from silently eroding while still clearing the caps: each
+# metric must stay within 5% of its recorded value, so a change that
+# costs (say) 20% MCD still turns CI red even though the reference pin
+# is far away.
+RECORDED_ACOUSTIC = {"mcd": 6.310, "f0_rmse": 53.75, "vde": 0.150,
+                     "bap": 25.366}
+RECORDED_DURATION_RMSE = 6.758
+MARGIN_RTOL = 0.05
+
 NUM_SPS = 20
 EPOCHS = 16
 
@@ -130,6 +141,12 @@ def test_acoustic_beats_reference_pins(ref_fixtures_dir, workdir, ref_ids,
     assert bap <= REF_ACOUSTIC_PINS["bap"], \
         "BAP %.3f worse than reference pin %.3f" % (
             bap, REF_ACOUSTIC_PINS["bap"])
+    for key, got in [("mcd", mcd), ("f0_rmse", f0_rmse), ("vde", vde),
+                     ("bap", bap)]:
+        cap = RECORDED_ACOUSTIC[key] * (1.0 + MARGIN_RTOL)
+        assert got <= cap, \
+            "%s %.3f eroded the recorded parity margin (recorded " \
+            "%.3f, cap %.3f)" % (key, got, RECORDED_ACOUSTIC[key], cap)
 
 
 def test_duration_beats_reference_pin(workdir, ref_ids,
@@ -176,3 +193,7 @@ def test_duration_beats_reference_pin(workdir, ref_ids,
     assert rmse <= REF_DURATION_RMSE_PIN, \
         "Duration RMSE %.3f worse than reference pin %.3f" % (
             rmse, REF_DURATION_RMSE_PIN)
+    cap = RECORDED_DURATION_RMSE * (1.0 + MARGIN_RTOL)
+    assert rmse <= cap, \
+        "Duration RMSE %.3f eroded the recorded parity margin " \
+        "(recorded %.3f, cap %.3f)" % (rmse, RECORDED_DURATION_RMSE, cap)
