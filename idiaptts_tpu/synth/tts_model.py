@@ -67,15 +67,21 @@ class TTSModel:
         (:mod:`idiaptts_tpu.synth.frontend` — lexicon/rule G2P +
         full-context label emission), so the text->speech pipeline
         works on a machine without Festival.  ``hparams.front_end``
-        may name a lexicon file via ``lexicon:<path>``."""
+        may name a lexicon file via ``lexicon:<path>``;
+        ``hparams.front_end_accent`` selects the pronunciation variant
+        ("en-US" default / "en-GB" — the reference's Am-vs-unilex-Br
+        Festival choice, ``Text2FestivalReadyAm.pl`` vs
+        ``utt2lab-unilex-rpx.sh``)."""
         front_end_cmd = hparams.get("front_end_cmd")
         if not front_end_cmd:
             from idiaptts_tpu.synth.frontend import BuiltinFrontEnd
             spec = hparams.get("front_end") or ""
             lexicon = spec.split(":", 1)[1] \
                 if spec.startswith("lexicon:") else None
-            return BuiltinFrontEnd(lexicon_path=lexicon).write_labels(
-                input_strings, out_dir)
+            accent = hparams.get("front_end_accent") or "en-US"
+            return BuiltinFrontEnd(
+                lexicon_path=lexicon,
+                accent=accent).write_labels(input_strings, out_dir)
         os.makedirs(out_dir, exist_ok=True)
         synth_txt = os.path.join(out_dir, "synth.txt")
         with open(synth_txt, "w") as f:

@@ -143,3 +143,58 @@ def test_normalise_text_rich_cases():
                                                  "two", "hundred"]
     # Punctuation still maps to pauses.
     assert "<pau>" in normalise_text("Hello. World")
+
+
+def test_accent_en_gb_non_rhoticity_and_bath():
+    """The en-GB accent variant (the builtin counterpart of the
+    reference's Festival Am vs unilex-Br front-end choice,
+    Text2FestivalReadyAm.pl / utt2lab-unilex-rpx.sh) drops
+    non-prevocalic /r/ and applies the TRAP-BATH split, on the same
+    ARPABET inventory the committed question sets cover."""
+    from idiaptts_tpu.synth.frontend import BuiltinFrontEnd
+
+    us = BuiltinFrontEnd(accent="en-US")
+    gb = BuiltinFrontEnd(accent="en-GB")
+
+    def phones(fe, text):
+        return [p for p, _ in fe.text_to_phones(text) if p != "sil"]
+
+    # Coda r drops in GB, survives in US ("car", "park").
+    assert "r" in phones(us, "car park")
+    assert "r" not in phones(gb, "car park")
+    # Onset r survives in both ("red").
+    assert "r" in phones(gb, "red")
+    # Intervocalic r (vowel follows) survives: "very".
+    assert "r" in phones(gb, "very")
+    # TRAP-BATH: ae -> aa before voiceless fricative / nasal+cons.
+    assert "aa" in phones(gb, "bath") and "ae" not in phones(gb, "bath")
+    assert "ae" in phones(us, "bath")
+    assert "aa" in phones(gb, "dance")
+    # TRAP stays TRAP elsewhere ("cat").
+    assert "ae" in phones(gb, "cat")
+    # Unstressed word-final "er" centralises to ax ("water").
+    assert "ax" in phones(gb, "water") and "er" not in phones(gb, "water")
+    assert "er" in phones(us, "water")
+
+
+def test_accent_unknown_rejected_and_labels_still_parse(tmp_path):
+    """Unknown accents fail fast; GB labels stay compatible with the
+    committed question set (same phone inventory)."""
+    import numpy as np
+    import pytest
+
+    from idiaptts_tpu.synth.frontend import BuiltinFrontEnd
+
+    with pytest.raises(ValueError):
+        BuiltinFrontEnd(accent="fr-FR")
+
+    gb = BuiltinFrontEnd(accent="en-GB")
+    labels = gb.text_to_full_labels("The bath near the car.")
+    qs = QuestionSet(ASSET_HED)
+    answers = np.stack([qs.match(lab) for lab in labels])
+    assert answers.shape == (len(labels), qs.dict_size)
+    assert (answers[1:-1].sum(axis=1) > 0).all()
+    assert np.isfinite(answers).all()
+    # write_labels still produces parseable .lab files under GB.
+    ids = gb.write_labels(["The bath near the car."], str(tmp_path))
+    assert len(ids) == 1
