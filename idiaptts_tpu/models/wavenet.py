@@ -281,7 +281,10 @@ def generate(params, config, cond, rng=None, temperature=1.0):
             sampler = pw.PackedSampler(wrapper_params, dilations,
                                        config, cond.shape[-1])
             _SAMPLER_CACHE[key] = (wrapper_params, sampler)
-        seed = int(jax.random.randint(rng, (), 0, 2 ** 31 - 1))
+        # Device scalar: fetching the seed to host (int(...)) would
+        # pay a tunnel round trip per call before the kernel even
+        # launches.
+        seed = jax.random.randint(rng, (), 0, 2 ** 31 - 1)
         samples, _ = sampler(cond, seed=seed,
                              temperature=temperature)
     else:

@@ -52,7 +52,7 @@ _VMEM_BUDGET = 14 * 1024 * 1024
 
 
 def _make_kernel(dilations, R, Ca, S, C, out_channels, TB,
-                 temperature, forced, want_logits):
+                 temperature, forced, want_logits, groups=1):
     """Build the kernel body for a static layer configuration.
 
     R: residual channels; Ca: gate half-width (z dim); S: skip
@@ -61,6 +61,17 @@ def _make_kernel(dilations, R, Ca, S, C, out_channels, TB,
     residual for j>0); W_res@W_cur/sqrt2; W_cond], b1 = gate+cond
     (+ lifted res-bias) biases; wm2 (L, Ca, S+R) cols
     [W_skip | W_res], b2 likewise.
+
+    ``groups``: batch rows are split into ``groups`` independent
+    sub-batches whose layer chains are INTERLEAVED inside the step
+    body.  The per-sample chain is latency-bound (measured ~6 us/step
+    nearly flat from Bp=8 to Bp=16): each layer's gate matmul waits on
+    the previous layer's gate output, so the MXU sits idle most of the
+    step.  Batch rows are independent, and issuing group g+1's layer-j
+    matmul right behind group g's fills those pipeline gaps — the same
+    rows, restructured so consecutive matmuls carry no data
+    dependency.  Sub-batches must stay sublane-tileable
+    (``Bp % (8 * groups) == 0``).
     """
     sizes = [d + 1 for d in dilations]
     offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]).tolist()
@@ -90,48 +101,64 @@ def _make_kernel(dilations, R, Ca, S, C, out_channels, TB,
 
         def step(r, onehot):
             t = pid * TB + r
+            G = groups
+            Bg = Bp // G
             h0 = jnp.dot(onehot.astype(jnp.bfloat16), embed_ref[...],
                          preferred_element_type=jnp.float32)  # (Bp, R)
             c = cond_ref[r].astype(jnp.bfloat16)              # (Bp, C)
-            zeros_ca = jnp.zeros((Bp, Ca), jnp.bfloat16)
-            skips = jnp.zeros((Bp, S), jnp.float32)
+            zeros_ca = jnp.zeros((Bg, Ca), jnp.bfloat16)
 
-            # One CHAIN matmul per layer: layer j's current-sample
-            # contribution x_j @ W_cur is rewritten through the
-            # residual update x_j = (x_{j-1} + z_{j-1} @ W_res)/sqrt2
-            # as [x_{j-1} | z_{j-1}] @ V (driver-packed), so the
-            # skip/res matmul of layer j-1 issues right AFTER layer
-            # j's chain matmul and its latency hides under the gate
-            # math — the chain is dot -> gate -> dot instead of
-            # dot -> gate -> dot -> dot.
-            x_prev = h0        # materialized input of layer j-1
-            z_prev = None
+            # One CHAIN matmul per layer per group: layer j's
+            # current-sample contribution x_j @ W_cur is rewritten
+            # through the residual update
+            # x_j = (x_{j-1} + z_{j-1} @ W_res)/sqrt2 as
+            # [x_{j-1} | z_{j-1}] @ V (driver-packed), so the skip/res
+            # matmul of layer j-1 issues right AFTER layer j's chain
+            # matmul and its latency hides under the gate math.  The G
+            # groups' chain matmuls for layer j are mutually
+            # independent and issue back-to-back, filling the MXU
+            # pipeline the single chain leaves empty.
+            xs = [h0[g * Bg:(g + 1) * Bg] for g in range(G)]
+            cs = [c[g * Bg:(g + 1) * Bg] for g in range(G)]
+            zs = [None] * G
+            sk = [jnp.zeros((Bg, S), jnp.float32) for _ in range(G)]
             for j, (size, off) in enumerate(zip(sizes, offsets)):
                 past = buf_ref[off + (t + 1) % size]          # (Bp, R)
-                operand = jnp.concatenate(
-                    [past, x_prev.astype(jnp.bfloat16),
-                     zeros_ca if j == 0 else z_prev, c], axis=1)
-                pre = jnp.dot(operand, wm1_ref[j],
-                              preferred_element_type=jnp.float32) \
-                    + b1_ref[j]
+                pres = []
+                for g in range(G):
+                    operand = jnp.concatenate(
+                        [past[g * Bg:(g + 1) * Bg],
+                         xs[g].astype(jnp.bfloat16),
+                         zeros_ca if j == 0 else zs[g], cs[g]],
+                        axis=1)
+                    pres.append(
+                        jnp.dot(operand, wm1_ref[j],
+                                preferred_element_type=jnp.float32)
+                        + b1_ref[j])
                 if j == 0:
                     buf_ref[off + t % size] = \
                         h0.astype(jnp.bfloat16)
                 else:
-                    so = jnp.dot(z_prev, wm2_ref[j - 1],
-                                 preferred_element_type=jnp.float32) \
-                        + b2_ref[j - 1]
-                    skips = skips + so[:, :S]
-                    x_prev = (x_prev + so[:, S:S + R]) * _INV_SQRT2
-                    buf_ref[off + t % size] = \
-                        x_prev.astype(jnp.bfloat16)
-                z_prev = (jnp.tanh(pre[:, :Ca])
-                          * jax.nn.sigmoid(pre[:, Ca:2 * Ca])
-                          ).astype(jnp.bfloat16)
-            so = jnp.dot(z_prev, wm2_ref[len(sizes) - 1],
-                         preferred_element_type=jnp.float32) \
-                + b2_ref[len(sizes) - 1]
-            skips = skips + so[:, :S]
+                    for g in range(G):
+                        so = jnp.dot(
+                            zs[g], wm2_ref[j - 1],
+                            preferred_element_type=jnp.float32) \
+                            + b2_ref[j - 1]
+                        sk[g] = sk[g] + so[:, :S]
+                        xs[g] = (xs[g] + so[:, S:S + R]) * _INV_SQRT2
+                    buf_ref[off + t % size] = (
+                        xs[0] if G == 1
+                        else jnp.concatenate(xs, axis=0)
+                    ).astype(jnp.bfloat16)
+                zs = [(jnp.tanh(p[:, :Ca])
+                       * jax.nn.sigmoid(p[:, Ca:2 * Ca])
+                       ).astype(jnp.bfloat16) for p in pres]
+            for g in range(G):
+                so = jnp.dot(zs[g], wm2_ref[len(sizes) - 1],
+                             preferred_element_type=jnp.float32) \
+                    + b2_ref[len(sizes) - 1]
+                sk[g] = sk[g] + so[:, :S]
+            skips = sk[0] if G == 1 else jnp.concatenate(sk, axis=0)
             hh = jax.nn.relu(skips)
             hh = jnp.dot(hh.astype(jnp.bfloat16), p1_ref[...],
                          preferred_element_type=jnp.float32) \
@@ -213,13 +240,15 @@ def generate_viable(config, B, C, dilations=None):
 @partial(jax.jit, static_argnames=("dilations", "R", "Ca", "S", "C",
                                    "out_channels", "temperature",
                                    "forced", "want_logits",
-                                   "interpret"))
+                                   "interpret", "groups"))
 def _generate_pallas(seed, cond, forced_seq, embed, wm1, b1, wm2, b2,
                      p1, p1b, p2, p2b, *, dilations, R, Ca, S, C,
                      out_channels, temperature, forced, want_logits,
-                     interpret):
+                     interpret, groups=1):
     """cond: (T, Bp, C) f32; forced_seq: (T, Bp) int32 (zeros when
-    unused).  Returns (samples (T, Bp) int32, logits (T, Bp, 256))."""
+    unused); seed: python int or traced int32 scalar (a device scalar
+    avoids a host sync on the serving path).
+    Returns (samples (T, Bp) int32, logits (T, Bp, 256))."""
     T, Bp, _ = cond.shape
     TB = _TIME_BLOCK
     T_pad = int(np.ceil(T / TB) * TB)
@@ -233,7 +262,8 @@ def _generate_pallas(seed, cond, forced_seq, embed, wm1, b1, wm2, b2,
     slots = sum(d + 1 for d in dilations)
 
     kernel = _make_kernel(dilations, R, Ca, S, C, out_channels, TB,
-                          temperature, forced, want_logits)
+                          temperature, forced, want_logits,
+                          groups=groups)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(T_pad // TB,),
@@ -353,17 +383,27 @@ class PackedSampler:
             pack_weights(wrapper_params, dilations, config, cond_dim))
 
     def __call__(self, cond, seed=0, temperature=1.0, forced=None,
-                 want_logits=None, interpret=False):
+                 want_logits=None, interpret=False, groups=None):
         """cond: (B, T, C) float32; forced: optional (B, T) int32
         teacher samples (logits-parity/testing mode — feedback comes
         from ``forced`` instead of sampling).
         Returns (samples (B, T) int32, logits (B, T, out_channels) or
         None).  Logits are materialised only in forced mode or with
         ``want_logits=True`` — production sampling skips the
-        (T, B, 256) f32 HBM write entirely."""
+        (T, B, 256) f32 HBM write entirely.
+
+        ``seed`` may be a python int or a device int32 scalar (no host
+        sync).  ``groups=None`` auto-picks the interleaving factor
+        (one sub-batch per 8 padded rows, capped at 4 — see
+        ``_make_kernel``); pass 1 to force the single-chain layout."""
         cfg = self.config
         B, T, C = cond.shape
         Bp = int(np.ceil(max(B, 1) / 8) * 8)
+        if groups is None:
+            groups = min(4, Bp // 8)
+        if Bp % (8 * groups):
+            raise ValueError("groups=%d does not tile Bp=%d"
+                             % (groups, Bp))
         cond_t = jnp.transpose(
             jnp.pad(jnp.asarray(cond, jnp.float32),
                     ((0, Bp - B), (0, 0), (0, 0))), (1, 0, 2))
@@ -374,14 +414,16 @@ class PackedSampler:
         else:
             fseq = jnp.zeros((T, Bp), jnp.int32)
         samples, logits = _generate_pallas(
-            int(seed), cond_t, fseq, *self.packed,
+            seed if hasattr(seed, "dtype") else int(seed),
+            cond_t, fseq,
+            *self.packed,
             dilations=self.dilations, R=cfg.residual_channels,
             Ca=cfg.gate_channels // 2, S=cfg.skip_channels, C=C,
             out_channels=cfg.out_channels,
             temperature=float(temperature), forced=forced is not None,
             want_logits=bool(forced is not None if want_logits is None
                              else want_logits),
-            interpret=interpret)
+            interpret=interpret, groups=int(groups))
         samples = jnp.transpose(samples, (1, 0))[:B]
         if logits is not None:
             logits = jnp.transpose(logits, (1, 0, 2))[:B, :,
@@ -391,13 +433,13 @@ class PackedSampler:
 
 def generate_pallas(wrapper_params, dilations, config, cond, seed=0,
                     temperature=1.0, forced=None, want_logits=None,
-                    interpret=False):
+                    interpret=False, groups=None):
     """One-shot convenience wrapper around :class:`PackedSampler`."""
     sampler = PackedSampler(wrapper_params, dilations, config,
                             cond.shape[-1])
     return sampler(cond, seed=seed, temperature=temperature,
                    forced=forced, want_logits=want_logits,
-                   interpret=interpret)
+                   interpret=interpret, groups=groups)
 
 
 def use_pallas_sampler():

@@ -105,3 +105,45 @@ def test_viability_gate():
     big = WaveNetWrapper.Config(input_names=("c",), output_names=("o",),
                                 residual_channels=256)
     assert not pw.generate_viable(big, 2, 63)       # channels too wide
+
+
+@pytest.mark.parametrize("groups", [2, 4])
+def test_forced_logits_grouped_interleave(groups):
+    """The batch-group-interleaved layout (pipeline-filling fast path
+    for larger batches) is numerically identical to the single-chain
+    kernel: same packed weights, same ring-buffer contents, only the
+    matmul issue order changes."""
+    cfg, net, params, cond, rs = _setup(B=8 * groups, T=45)
+    B, T = cond.shape[:2]
+    forced = jnp.asarray(rs.randint(0, 256, (B, T)), jnp.int32)
+    inputs = jnp.pad(forced, ((0, 0), (1, 0)),
+                     constant_values=128)[:, :-1]
+    ref_logits = np.asarray(net.apply(params, inputs, cond))
+    _, logits = pw.generate_pallas(params["params"],
+                                   tuple(net.dilations()), cfg, cond,
+                                   forced=forced, interpret=True,
+                                   groups=groups)
+    logits = np.asarray(logits)
+    scale = np.abs(ref_logits).max()
+    assert np.abs(logits - ref_logits).max() < 0.02 * scale
+    # ... and bit-identical to the groups=1 kernel (same operations,
+    # different schedule; interpret mode executes both in f32).
+    _, logits1 = pw.generate_pallas(params["params"],
+                                    tuple(net.dilations()), cfg, cond,
+                                    forced=forced, interpret=True,
+                                    groups=1)
+    np.testing.assert_allclose(logits, np.asarray(logits1),
+                               rtol=0, atol=1e-5)
+
+
+def test_grouped_free_run_and_bad_groups():
+    cfg, net, params, cond, _ = _setup(B=16, T=40)
+    samples, _ = pw.generate_pallas(
+        params["params"], tuple(net.dilations()), cfg, cond, seed=3,
+        temperature=1.0, interpret=True)    # auto groups=2 at Bp=16
+    s = np.asarray(samples)
+    assert s.shape == cond.shape[:2]
+    assert s.min() >= 0 and s.max() <= 255
+    with pytest.raises(ValueError):
+        pw.generate_pallas(params["params"], tuple(net.dilations()),
+                           cfg, cond, interpret=True, groups=3)
