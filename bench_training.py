@@ -2,12 +2,12 @@
 
 BASELINE.md asks for acoustic frames/sec (training + inference)
 "measured and reported per chip".  ``bench.py`` is the driver-run
-headline (label->wav inference xRT); this script reports the training
+headline (label->wav inference xRT); this module reports the training
 side: full jit train step (forward, masked MSE, grads, adam update) of
 the Interspeech'18 baseline acoustic architecture on bucketed LJSpeech
-fixture shapes.
-
-Prints one JSON line per metric.
+fixture shapes.  The measurement bodies are plain functions returning
+dicts so ``bench.py`` can embed them in the driver-captured headline
+JSON; ``main`` prints one JSON line per metric for standalone use.
 """
 
 import json
@@ -19,8 +19,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+_PEAK_TFLOPS = 197.0      # v5e bf16 peak
 
-def main():
+
+def _setup_jax_cache():
     import jax
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -28,12 +30,19 @@ def main():
                           1.0)
     except Exception:
         pass
+
+
+def training_numbers(B=8, T=1024, runs=10):
+    """Train + inference frames/s and MFU for the Interspeech'18
+    acoustic architecture at batch ``B``, bucket ``T``."""
+    import jax
     import jax.numpy as jnp
     import optax
 
     from idiaptts_tpu.models.rnn_dyn import convert_legacy_string
 
-    B, T, D_in, D_out = 8, 1024, 409, 67
+    _setup_jax_cache()
+    D_in, D_out = 409, 67
     cfg = convert_legacy_string(
         "RNNDYN-2_RELU_1024-3_BiLSTM_512-1_FC_{}".format(D_out), D_in)
     cfg.input_names = ("questions",)
@@ -71,7 +80,6 @@ def main():
     # measures pure step time.  A per-step scalar fetch pays the
     # tunnel's ~30 ms host round trip every iteration — an environment
     # artifact; real training loops fetch the loss every N steps.
-    runs = 10
     t0 = time.time()
     for _ in range(runs):
         params, opt_state, loss = train_step(params, opt_state, x, y,
@@ -110,39 +118,28 @@ def main():
         + 2 * 1024 * D_out)                           # FC head
     train_tflops = 3 * fwd_flops_per_frame * train_fps / 1e12
     infer_tflops = fwd_flops_per_frame * infer_fps / 1e12
-    peak = 197.0      # v5e bf16 peak TF/s
-    print(json.dumps({"metric": "acoustic training throughput",
-                      "value": round(train_fps),
-                      "unit": "frames/sec per chip",
-                      "vs_baseline": None,
-                      "detail": {"model_tflops_per_s":
-                                 round(train_tflops, 2),
-                                 "mfu_vs_197tf_peak":
-                                 round(train_tflops / peak, 3)}}))
-    print(json.dumps({"metric": "acoustic inference throughput",
-                      "value": round(infer_fps),
-                      "unit": "frames/sec per chip",
-                      "vs_baseline": None,
-                      "detail": {"model_tflops_per_s":
-                                 round(infer_tflops, 2),
-                                 "mfu_vs_197tf_peak":
-                                 round(infer_tflops / peak, 3)}}))
-
-    _bench_wavenet_sampling()
-    _bench_reference_surface_synth()
+    return {
+        "batch": B, "bucket_T": T,
+        "train_frames_per_s": round(train_fps),
+        "train_tflops_per_s": round(train_tflops, 2),
+        "train_mfu_vs_197tf_peak": round(train_tflops / _PEAK_TFLOPS, 3),
+        "infer_frames_per_s": round(infer_fps),
+        "infer_tflops_per_s": round(infer_tflops, 2),
+        "infer_mfu_vs_197tf_peak": round(infer_tflops / _PEAK_TFLOPS, 3),
+    }
 
 
-def _bench_wavenet_sampling():
-    """Autoregressive WaveNet generation through the public
-    ``generate()`` (fused Pallas sampler on TPU, scan elsewhere)."""
-    import time
-
+def wavenet_numbers(batches=(16, 32, 64), seconds=1.0, runs=2):
+    """Autoregressive WaveNet generation throughput through the public
+    ``generate()`` (fused Pallas sampler on TPU, scan elsewhere) at
+    several batch sizes; aggregate xRT = B*seconds/elapsed."""
     import jax
     import jax.numpy as jnp
 
     from idiaptts_tpu.models.wavenet import (WaveNet, WaveNetWrapper,
                                              generate)
 
+    _setup_jax_cache()
     cfg = WaveNetWrapper.Config(input_names=("cond",),
                                 output_names=("logits",))
     net = WaveNet(out_channels=cfg.out_channels,
@@ -150,41 +147,48 @@ def _bench_wavenet_sampling():
                   gate_channels=cfg.gate_channels,
                   skip_channels=cfg.skip_channels,
                   num_layers=cfg.num_layers, num_stacks=cfg.num_stacks)
-    B, T, C = 4, 16000, 63
-    cond = jnp.asarray(
-        np.random.RandomState(0).randn(B, T, C).astype(np.float32)
-        * 0.1)
-    params = {"params": {"wavenet": net.init(
-        {"params": jax.random.PRNGKey(0)},
-        jnp.zeros((B, T), jnp.int32), cond)["params"]}}
-    generate(params, cfg, cond, rng=jax.random.PRNGKey(1))  # warmup
-    runs = 3
-    t0 = time.time()
-    for i in range(runs):
-        generate(params, cfg, cond, rng=jax.random.PRNGKey(2 + i))
-    elapsed = (time.time() - t0) / runs
-    print(json.dumps({"metric": "wavenet vocoder sampling",
-                      "value": round(B * T / 16000.0 / elapsed, 1),
-                      "unit": "x realtime per chip (B=4, 16kHz)",
-                      "vs_baseline": None}))
+    T, C = int(16000 * seconds), 63
+    results = {}
+    best = None
+    params = None
+    for B in batches:
+        cond = jnp.asarray(
+            np.random.RandomState(0).randn(B, T, C).astype(np.float32)
+            * 0.1)
+        if params is None:
+            params = {"params": {"wavenet": net.init(
+                {"params": jax.random.PRNGKey(0)},
+                jnp.zeros((B, T), jnp.int32), cond)["params"]}}
+        generate(params, cfg, cond, rng=jax.random.PRNGKey(1))  # warmup
+        t0 = time.time()
+        for i in range(runs):
+            generate(params, cfg, cond, rng=jax.random.PRNGKey(2 + i))
+        elapsed = (time.time() - t0) / runs
+        xrt = round(B * T / 16000.0 / elapsed, 1)
+        results["xrt_B{}".format(B)] = xrt
+        if best is None or xrt > best[1]:
+            best = (B, xrt)
+    results["best_batch"] = best[0]
+    results["best_xrt"] = best[1]
+    return results
 
 
-def _bench_reference_surface_synth():
+def ref_surface_numbers(runs=3):
     """trainer.synth through the reference-surface API (fused
     model+MLPG+vocoder jit + wav file writing) on the fixture corpus.
-    Unlike bench.py this includes the device->host waveform transfer
-    and PCM16 encoding — the number a user of trainer.synth sees."""
-    import time
-
+    Unlike the headline this includes the device->host waveform
+    transfer and PCM16 encoding — the number a user of trainer.synth
+    sees."""
     fixtures = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "tests", "fixtures")
     if not os.path.isdir(fixtures):
-        return
+        return None
     from idiaptts_tpu.data.questions import QuestionSet
     from idiaptts_tpu.models.rnn_dyn import convert_legacy_string
     from idiaptts_tpu.ops.audio_io import get_raw
     from idiaptts_tpu.train.acoustic import AcousticModelTrainer
 
+    _setup_jax_cache()
     num_questions = QuestionSet(os.path.join(
         fixtures, "questions-gen_dnn.hed")).dict_size + 9
     with open(os.path.join(fixtures, "file_id_list.txt")) as f:
@@ -212,17 +216,37 @@ def _bench_reference_surface_synth():
     trainer.init(hparams, model_config=cfg)
 
     paths = trainer.synth(hparams, ids)      # warmup / compile
-    runs = 3
     t0 = time.time()
     for _ in range(runs):
         paths = trainer.synth(hparams, ids)
     elapsed = (time.time() - t0) / runs
     audio_seconds = sum(len(get_raw(p)[0]) / 16000.0
                         for p in paths.values())
-    print(json.dumps({"metric": "reference-surface synth throughput",
-                      "value": round(audio_seconds / elapsed, 2),
-                      "unit": "x realtime per chip (incl. wav IO)",
-                      "vs_baseline": None}))
+    return {"synth_xrt": round(audio_seconds / elapsed, 2),
+            "audio_seconds": round(audio_seconds, 2),
+            "n_utterances": len(ids)}
+
+
+def main():
+    for B in (8, 32):
+        r = training_numbers(B=B)
+        print(json.dumps({"metric": "acoustic training throughput",
+                          "value": r["train_frames_per_s"],
+                          "unit": "frames/sec per chip",
+                          "vs_baseline": None, "detail": r}))
+    w = wavenet_numbers()
+    print(json.dumps({"metric": "wavenet vocoder sampling",
+                      "value": w["best_xrt"],
+                      "unit": "x realtime per chip (aggregate, 16kHz)",
+                      "vs_baseline": round(w["best_xrt"] / 200.0, 3),
+                      "detail": w}))
+    r = ref_surface_numbers()
+    if r is not None:
+        print(json.dumps({"metric": "reference-surface synth throughput",
+                          "value": r["synth_xrt"],
+                          "unit": "x realtime per chip (incl. wav IO)",
+                          "vs_baseline": round(r["synth_xrt"] / 200.0, 3),
+                          "detail": r}))
 
 
 if __name__ == "__main__":
