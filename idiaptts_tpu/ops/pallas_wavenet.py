@@ -400,7 +400,12 @@ class PackedSampler:
         B, T, C = cond.shape
         Bp = int(np.ceil(max(B, 1) / 8) * 8)
         if groups is None:
-            groups = min(4, Bp // 8)
+            # Largest interleave factor (capped at 4) that tiles the
+            # padded batch: groups must divide Bp//8, or the kernel's
+            # (8*groups)-row tiling check below rejects it (e.g.
+            # Bp=40 -> Bp//8=5 -> groups=1; Bp=48 -> 6 -> 3).
+            rows8 = Bp // 8
+            groups = next(g for g in (4, 3, 2, 1) if rows8 % g == 0)
         if Bp % (8 * groups):
             raise ValueError("groups=%d does not tile Bp=%d"
                              % (groups, Bp))

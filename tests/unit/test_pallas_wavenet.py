@@ -147,3 +147,17 @@ def test_grouped_free_run_and_bad_groups():
     with pytest.raises(ValueError):
         pw.generate_pallas(params["params"], tuple(net.dilations()),
                            cfg, cond, interpret=True, groups=3)
+
+
+@pytest.mark.parametrize("B", [33, 40, 48, 56])
+def test_auto_groups_always_tiles(B):
+    """Advisor regression: groups=None must pick a factor that divides
+    the padded batch's 8-row tile count — min(4, Bp//8) raised on
+    Bp//8 in {5, 6, 7} (B=40, 48, 56) and every non-multiple of 4
+    above 4.  The public API must accept any batch size."""
+    cfg, net, params, _, rs = _setup(B=1, T=6)
+    cond = jnp.asarray(rs.randn(B, 6, 63).astype(np.float32) * 0.1)
+    samples, _ = pw.generate_pallas(
+        params["params"], tuple(net.dilations()), cfg, cond, seed=1,
+        temperature=1.0, interpret=True)
+    assert np.asarray(samples).shape == (B, 6)
