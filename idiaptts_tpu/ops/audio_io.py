@@ -48,7 +48,11 @@ def raw_to_file(file_path, raw, fs, file_format="wav"):
     if file_format.lower() not in ("wav", "wave"):
         file_path = os.path.splitext(file_path)[0] + ".wav"
     os.makedirs(os.path.dirname(os.path.abspath(file_path)), exist_ok=True)
-    scipy.io.wavfile.write(file_path, int(fs), float_to_pcm16(raw))
+    # int16 input is already PCM-encoded (e.g. the fused pipeline's
+    # on-device pcm16 path) and is written verbatim.
+    raw = np.asarray(raw)
+    data = raw if raw.dtype == np.int16 else float_to_pcm16(raw)
+    scipy.io.wavfile.write(file_path, int(fs), data)
     return file_path
 
 

@@ -157,6 +157,23 @@ class FusedAcousticPipeline:
             smoothed, vuv_b = mlpg_stage(out, lengths_b, factors, tau)
             return vocoder_stage(smoothed, vuv_b, f0_cont_b, key)
 
+        def run_pcm(params, questions_b, lengths_b, f0_cont_b, factors,
+                    tau, key):
+            # Loudness-norm + PCM16 encode ON DEVICE: the wav-file
+            # surface (trainer.synth) then moves int16 over the
+            # device->host link — half the bytes of float32, and no
+            # host-side numpy pass.  Matches audio_io.float_to_pcm16 +
+            # synthesiser._norm_loudness (peak-normalise only above
+            # 0.85) bit-for-bit on finite inputs.
+            wavs = run(params, questions_b, lengths_b, f0_cont_b,
+                       factors, tau, key)
+            peak = jnp.max(jnp.abs(wavs), axis=1, keepdims=True)
+            wavs = wavs * jnp.where(peak > 0.85, 0.85 / peak, 1.0)
+            wavs = jnp.nan_to_num(wavs, nan=0.0, posinf=1.0,
+                                  neginf=-1.0)
+            return (jnp.clip(wavs, -1.0, 1.0)
+                    * 32767.0).astype(jnp.int16)
+
         self._stage_fns = (model_stage, mlpg_stage, vocoder_stage)
         self._stage_jits = None
 
@@ -179,6 +196,7 @@ class FusedAcousticPipeline:
                           P(data_axis), P(), P(), P()),
                 out_specs=P(data_axis), check_vma=False))
         self._run = jax.jit(run)
+        self._run_pcm = jax.jit(run_pcm)
 
     def stage_jits(self):
         """Individually jitted (model, mlpg, vocoder) stage functions —
@@ -207,12 +225,15 @@ class FusedAcousticPipeline:
         return self._factor_cache[T]
 
     def __call__(self, params, questions, lengths=None, f0_cont=None,
-                 seed=0, device_output=False):
+                 seed=0, device_output=False, pcm16=False):
         """questions: list of (T_i, D) arrays or one (B, T, D) array.
         Returns a list of (T_i * hop,) float32 waveforms trimmed to the
         true lengths — or, with ``device_output``, the untrimmed
         (B, T*hop) device array (skips the device->host transfer; use
-        when the consumer is another device computation)."""
+        when the consumer is another device computation).  With
+        ``pcm16`` the waveforms come back loudness-normalised int16
+        (encode on device, half the transfer bytes) ready for wav
+        writing."""
         jnp = self._jnp
         if isinstance(questions, (list, tuple)):
             lengths = np.array([len(q) for q in questions], np.int32)
@@ -235,6 +256,17 @@ class FusedAcousticPipeline:
         key = self._jax.random.PRNGKey(seed)
         batch_d = jnp.asarray(batch)
         f0_cont_d = jnp.asarray(f0_cont)
+        if pcm16:
+            if device_output or (self._batch_sharding is not None
+                                 and batch_d.shape[0]
+                                 % self.mesh.devices.size == 0):
+                raise ValueError("pcm16 output is host-side and "
+                                 "single-device only")
+            wavs = np.asarray(self._run_pcm(
+                params, batch_d, jnp.asarray(lengths), f0_cont_d,
+                factors, tau, key))
+            return [wavs[i, :int(l) * self.hop]
+                    for i, l in enumerate(lengths)]
         if self._batch_sharding is not None \
                 and batch_d.shape[0] % self.mesh.devices.size == 0:
             put = self._jax.device_put

@@ -370,11 +370,14 @@ class AcousticModelTrainer(ModularTrainer):
         per-utterance stages, ModularTrainer.py:644-676 ->
         Synthesiser.py:38-80)."""
         from idiaptts_tpu.ops.audio_io import raw_to_file
-        from idiaptts_tpu.synth.synthesiser import _norm_loudness
 
         pipeline, params, load_inputs = self.build_serving(hparams)
         questions = [load_inputs(i) for i in id_list]
-        wavs = pipeline(params, questions)
+        # pcm16: loudness-norm + int16 encode happen ON DEVICE, so the
+        # host receives write-ready samples in half the bytes — the
+        # device->host transfer is the reference-surface path's
+        # dominant cost.
+        wavs = pipeline(params, questions, pcm16=True)
         fs = hparams.get("synth_fs", 16000)
         suffix = "_e{}".format(self.total_epoch) \
             if self.total_epoch is not None else ""
@@ -383,7 +386,7 @@ class AcousticModelTrainer(ModularTrainer):
         paths = {}
         for id_name, raw in zip(id_list, wavs):
             path = Synthesiser._out_path(id_name, hparams, suffix)
-            raw_to_file(path, _norm_loudness(raw), fs)
+            raw_to_file(path, raw, fs)
             paths[id_name] = path
         return paths
 
