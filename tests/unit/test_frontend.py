@@ -177,6 +177,86 @@ def test_accent_en_gb_non_rhoticity_and_bath():
     assert "er" in phones(us, "water")
 
 
+def test_accent_en_gb_bath_trap_against_rp_ground_truth():
+    """The TRAP-BATH split is lexical (Wells' BATH lexical set), so the
+    mapping is checked against dictionary RP classifications, not its
+    own rules: every word below has an uncontested RP vowel (OED /
+    Wells LPD).  Regression for the round-4 advisor finding that a
+    blanket phonetic rule broadened frequent TRAP words ("hand" ->
+    /aa/, "gas" -> /aa/, "romantic" -> /aa/)."""
+    from idiaptts_tpu.synth.frontend import to_received_pronunciation
+
+    def gb(word, us_phones):
+        entry = [(p, 1 if p in ("ae", "aa") else None)
+                 for p in us_phones]
+        return [p for p, _ in to_received_pronunciation(entry,
+                                                        word=word)]
+
+    # BATH set: RP has /ɑː/.
+    for word, us in [("bath", ["b", "ae", "th"]),
+                     ("pass", ["p", "ae", "s"]),
+                     ("passed", ["p", "ae", "s", "t"]),
+                     ("classes", ["k", "l", "ae", "s", "ih", "z"]),
+                     ("dance", ["d", "ae", "n", "s"]),
+                     ("dancing", ["d", "ae", "n", "s", "ih", "ng"]),
+                     ("plant", ["p", "l", "ae", "n", "t"]),
+                     ("branch", ["b", "r", "ae", "n", "ch"]),
+                     ("answer", ["ae", "n", "s", "er"]),
+                     ("example", ["ih", "g", "z", "ae", "m", "p",
+                                  "ax", "l"]),
+                     ("laughing", ["l", "ae", "f", "ih", "ng"]),
+                     ("master", ["m", "ae", "s", "t", "er"]),
+                     ("afternoon", ["ae", "f", "t", "er", "n", "uw",
+                                    "n"])]:
+        assert "aa" in gb(word, us) and "ae" not in gb(word, us), word
+
+    # TRAP set: RP keeps /æ/ (the advisor's misfire cases first).
+    for word, us in [("hand", ["hh", "ae", "n", "d"]),
+                     ("stand", ["s", "t", "ae", "n", "d"]),
+                     ("gas", ["g", "ae", "s"]),
+                     ("romantic", ["r", "ow", "m", "ae", "n", "t",
+                                   "ih", "k"]),
+                     ("fancy", ["f", "ae", "n", "s", "iy"]),
+                     ("band", ["b", "ae", "n", "d"]),
+                     ("stamp", ["s", "t", "ae", "m", "p"]),
+                     ("classic", ["k", "l", "ae", "s", "ih", "k"]),
+                     ("massive", ["m", "ae", "s", "ih", "v"]),
+                     ("passenger", ["p", "ae", "s", "ax", "n", "jh",
+                                    "er"]),
+                     ("fantastic", ["f", "ae", "n", "t", "ae", "s",
+                                    "t", "ih", "k"]),
+                     ("plastic", ["p", "l", "ae", "s", "t", "ih",
+                                  "k"]),
+                     ("random", ["r", "ae", "n", "d", "ax", "m"]),
+                     ("maths", ["m", "ae", "th", "s"])]:
+        assert "ae" in gb(word, us) and "aa" not in gb(word, us), word
+
+
+def test_accent_en_gb_rhoticity_edge_cases():
+    """Advisor regression: non-prevocalic /r/ drops even after a
+    consonant, and '-er' with SECONDARY stress still centralises (only
+    primary-stressed NURSE keeps 'er')."""
+    from idiaptts_tpu.synth.frontend import to_received_pronunciation
+
+    # r after consonant, before consonant: still dropped.
+    out = [p for p, _ in to_received_pronunciation(
+        [("hh", None), ("er", 0), ("r", None), ("z", None)],
+        word="hers")]
+    assert "r" not in out
+    # Secondary-stressed word-final er centralises ("understudy"-style
+    # compounds) — primary-stressed NURSE 'er' survives ("prefer").
+    out = [p for p, _ in to_received_pronunciation(
+        [("l", None), ("ae", 1), ("n", None), ("d", None),
+         ("ow", None), ("n", None), ("er", 2)], word="landowner")]
+    assert out[-1] == "ax"
+    out = [p for p, _ in to_received_pronunciation(
+        [("p", None), ("r", None), ("ih", 0), ("f", None), ("er", 1)],
+        word="prefer")]
+    assert out[-1] == "er"
+    # Onset r before a vowel is untouched ("prefer" keeps its r).
+    assert "r" in out
+
+
 def test_accent_unknown_rejected_and_labels_still_parse(tmp_path):
     """Unknown accents fail fast; GB labels stay compatible with the
     committed question set (same phone inventory)."""
