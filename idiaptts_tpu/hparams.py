@@ -51,6 +51,10 @@ class ExtendedHParams:
     def has_value(self, name):
         return name in self._values and self._values[name] is not None
 
+    # Tri-state switches: declared as the string "auto" but legitimately
+    # set to True/False by recipes and tests.
+    _TRISTATE = frozenset({"use_shard_map"})
+
     def _set(self, name, value, declare=False):
         if not declare:
             expected = self._types.get(name)
@@ -61,6 +65,8 @@ class ExtendedHParams:
                     value = float(value)
                 elif expected is list and isinstance(value, tuple):
                     value = list(value)
+                elif name in self._TRISTATE and isinstance(value, bool):
+                    pass
                 else:
                     raise ValueError(
                         "Must pass %s for hparam '%s', got %s"
