@@ -35,13 +35,15 @@ REF_DURATION_RMSE_PIN = 14.954
 # Our recorded margins on the recording platform (virtual CPU,
 # 2026-08-20).  Pinning these — not just the reference caps — stops
 # parity from silently eroding while still clearing the caps: each
-# metric must stay within 5% of its recorded value, so a change that
-# costs (say) 20% MCD still turns CI red even though the reference pin
-# is far away.
+# metric must stay within the margin of its recorded value, so a
+# change that costs (say) 5% MCD turns CI red even though the
+# reference pin is far away.  The seeded recipes reproduce these to
+# <0.1% on the recording platform (same tier as the quality pins'
+# RTOL=0.01, test_quality_pins.py), so the margin is 1%.
 RECORDED_ACOUSTIC = {"mcd": 6.310, "f0_rmse": 53.75, "vde": 0.150,
                      "bap": 25.366}
 RECORDED_DURATION_RMSE = 6.758
-MARGIN_RTOL = 0.05
+MARGIN_RTOL = 0.01
 
 NUM_SPS = 20
 EPOCHS = 16
