@@ -234,7 +234,8 @@ _generate_scan_jit = jax.jit(_generate_scan,
 _SAMPLER_CACHE = {}
 
 
-def generate(params, config, cond, rng=None, temperature=1.0):
+def generate(params, config, cond, rng=None, temperature=1.0,
+             device_output=False):
     """Autoregressive generation (the incremental_forward equivalent).
 
     On a single-device TPU this runs the fused Pallas sampler
@@ -290,8 +291,12 @@ def generate(params, config, cond, rng=None, temperature=1.0):
     else:
         samples = _generate_scan_jit(wrapper_params, dilations,
                                      config, cond, rng, temperature)
-    wav = np.asarray(inv_mulaw_quantize(samples,
-                                        config.out_channels - 1))
+    wav = inv_mulaw_quantize(samples, config.out_channels - 1)
+    if not device_output:
+        # One device->host transfer; with device_output the caller
+        # keeps the waveform on device (e.g. loudness-norm + PCM16
+        # encode fused into a downstream jit, as trainer.synth does).
+        wav = np.asarray(wav)
     return wav[0] if single else wav
 
 

@@ -70,3 +70,44 @@ def test_padded_tail_is_silent():
         16000, 80, 513, 0.41, 112))
     assert np.abs(w).max() < 10 * max(np.abs(ref).max(), 1e-12), (
         np.abs(w).max(), np.abs(ref).max())
+
+
+def test_pcm16_packed_path_matches_float_path():
+    """The packed-transfer pcm16 surface (concatenated un-padded
+    frames h2d, padded batch rebuilt on device, loudness-norm + int16
+    encode in the jit) must reproduce the float path + host-side
+    normalisation/quantisation exactly (CPU keeps f32 transfer, so the
+    rebuild is bit-identical)."""
+    import jax.numpy as jnp
+    from idiaptts_tpu.synth.pipeline import FusedAcousticPipeline
+
+    D, NB, nq = 20, 1, 33
+    rng = np.random.RandomState(1)
+    W = jnp.asarray(rng.randn(nq, 3 * (D + 1 + NB) + 1) * 0.01,
+                    jnp.float32)
+
+    def model_apply(params, q, lengths):
+        return q @ params["W"]
+
+    variances = {"sp": np.abs(rng.randn(3 * D)) + 0.1,
+                 "lf0": np.abs(rng.randn(3)) + 0.1,
+                 "bap": np.abs(rng.randn(3 * NB)) + 0.1}
+    questions = [rng.randn(90 + 17 * i, nq).astype(np.float32)
+                 for i in range(3)]
+    params = {"W": W}
+    pipeline = FusedAcousticPipeline(model_apply, variances,
+                                     num_coded_sps=D, fs=16000)
+    assert pipeline.transfer_dtype == np.float32  # CPU backend
+
+    floats = pipeline(params, questions, seed=3)
+    pcms = pipeline(params, questions, seed=3, pcm16=True)
+    assert len(pcms) == len(floats) == 3
+    for f, p in zip(floats, pcms):
+        assert p.dtype == np.int16 and len(p) == len(f)
+        peak = np.abs(f).max()
+        ref = f / peak * 0.85 if peak > 0.85 else f
+        want = (np.clip(ref, -1.0, 1.0) * 32767.0).astype(np.int16)
+        # 1 LSB slack: host/device float rounding at the int16 cast
+        # boundary (the documented pcm16 contract).
+        np.testing.assert_allclose(p.astype(np.int32),
+                                   want.astype(np.int32), atol=1)
