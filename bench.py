@@ -298,7 +298,14 @@ def _worker(stage_dir):
     import bench_training
     run_optional("training",
                  lambda: {"B8": bench_training.training_numbers(B=8),
-                          "B32": bench_training.training_numbers(B=32)})
+                          "B32": bench_training.training_numbers(B=32),
+                          # B=64/128 fill the MXU's 128-row tile in the
+                          # BiLSTM recurrence matmuls — the batch shape
+                          # is the MFU lever (B=32 caps the recurrent
+                          # matmul at 32/128 rows).
+                          "B64": bench_training.training_numbers(B=64),
+                          "B128": bench_training.training_numbers(
+                              B=128)})
     run_optional("wavenet", lambda: bench_training.wavenet_numbers())
     run_optional("ref_surface",
                  lambda: bench_training.ref_surface_numbers())

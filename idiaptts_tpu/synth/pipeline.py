@@ -83,6 +83,7 @@ class FusedAcousticPipeline:
         self.hop = int(fs * frame_shift_ms / 1000.0)
         self.bucket = int(bucket)
         self._factor_cache = {}
+        self._key_cache = {}
         self._mlpg_factorise = mlpg_factorise
         D = self.num_coded_sps
         NB = self.num_bap
@@ -249,6 +250,17 @@ class FusedAcousticPipeline:
                                         self._jnp.float32)
         return cache[key]
 
+    def _prng_key(self, seed):
+        # PRNGKey construction dispatches a device op; serving calls
+        # reuse a handful of seeds, so cache the key arrays.
+        key = self._key_cache.get(seed)
+        if key is None:
+            key = self._jax.random.PRNGKey(seed)
+            if len(self._key_cache) > 64:
+                self._key_cache.clear()
+            self._key_cache[seed] = key
+        return key
+
     def _factors_for(self, T):
         if T not in self._factor_cache:
             self._factor_cache[T] = self._mlpg_factorise(
@@ -285,7 +297,7 @@ class FusedAcousticPipeline:
                 factors, tau = self._factors_for(T)
                 if f0_cont is None:
                     f0_cont = self._default_f0_cont(B, T)
-                key = self._jax.random.PRNGKey(seed)
+                key = self._prng_key(seed)
                 if device_output:
                     raise ValueError("pcm16 output is host-side only")
                 wavs = np.asarray(self._run_pcm_packed(
@@ -309,7 +321,7 @@ class FusedAcousticPipeline:
         factors, tau = self._factors_for(T)
         if f0_cont is None:
             f0_cont = self._default_f0_cont(batch.shape[0], T)
-        key = self._jax.random.PRNGKey(seed)
+        key = self._prng_key(seed)
         batch_d = jnp.asarray(batch)
         f0_cont_d = jnp.asarray(f0_cont)
         if pcm16:
