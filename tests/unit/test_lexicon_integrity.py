@@ -46,7 +46,7 @@ def test_validator_clean():
 
 def test_entry_count_floor():
     fe = BuiltinFrontEnd()
-    assert len(fe.lexicon) >= 4900
+    assert len(fe.lexicon) >= 5500
 
 
 def _prompt_words():
@@ -71,8 +71,8 @@ def test_oov_rate_on_held_out_prompts():
     tok_oov = sum(1 for w in words
                   if w not in fe.lexicon
                   and not morphological_lookup(w, fe.lexicon))
-    assert len(oov) / len(uniq) <= 0.16, oov
-    assert tok_oov / len(words) <= 0.13, (tok_oov, len(words))
+    assert len(oov) / len(uniq) <= 0.09, oov
+    assert tok_oov / len(words) <= 0.07, (tok_oov, len(words))
 
 
 @_needs_ref
