@@ -39,7 +39,7 @@ NUM_SPS = 20
 
 # Stage files live here across worker attempts.
 _STAGE_NAMES = ("headline", "breakdown", "capacity", "training",
-                "wavenet", "ref_surface")
+                "training_large", "wavenet", "ref_surface")
 _REQUIRED = "headline"
 
 _TRANSIENT_MARKERS = (
@@ -298,12 +298,14 @@ def _worker(stage_dir):
     import bench_training
     run_optional("training",
                  lambda: {"B8": bench_training.training_numbers(B=8),
-                          "B32": bench_training.training_numbers(B=32),
-                          # B=64/128 fill the MXU's 128-row tile in the
-                          # BiLSTM recurrence matmuls — the batch shape
-                          # is the MFU lever (B=32 caps the recurrent
-                          # matmul at 32/128 rows).
-                          "B64": bench_training.training_numbers(B=64),
+                          "B32": bench_training.training_numbers(B=32)})
+    # Separate stage: B=64/128 fill the MXU's 128-row tile in the
+    # BiLSTM recurrence matmuls (the batch shape is the MFU lever),
+    # but their first compile is slow on the tunneled backend — in
+    # their own stage a timeout cannot take the B8/B32 numbers with
+    # it.
+    run_optional("training_large",
+                 lambda: {"B64": bench_training.training_numbers(B=64),
                           "B128": bench_training.training_numbers(
                               B=128)})
     run_optional("wavenet", lambda: bench_training.wavenet_numbers())
@@ -334,6 +336,9 @@ def _merge_and_print(stage_dir):
         extra = _read_stage(stage_dir, name)
         if extra:
             detail[name] = extra
+    large = _read_stage(stage_dir, "training_large")
+    if large:
+        detail.setdefault("training", {}).update(large)
     print(json.dumps({
         "metric": "LJSpeech label->wav synthesis throughput",
         "value": xrt,
