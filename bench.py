@@ -299,18 +299,17 @@ def _worker(stage_dir):
     run_optional("training",
                  lambda: {"B8": bench_training.training_numbers(B=8),
                           "B32": bench_training.training_numbers(B=32)})
-    # Separate stage: B=64/128 fill the MXU's 128-row tile in the
-    # BiLSTM recurrence matmuls (the batch shape is the MFU lever),
-    # but their first compile is slow on the tunneled backend — in
-    # their own stage a timeout cannot take the B8/B32 numbers with
-    # it.
+    run_optional("wavenet", lambda: bench_training.wavenet_numbers())
+    run_optional("ref_surface",
+                 lambda: bench_training.ref_surface_numbers())
+    # LAST and in its own stage: B=64/128 fill the MXU's 128-row tile
+    # in the BiLSTM recurrence matmuls (the batch shape is the MFU
+    # lever), but their first compile is slow on the tunneled backend
+    # — a timeout here must not take any other stage with it.
     run_optional("training_large",
                  lambda: {"B64": bench_training.training_numbers(B=64),
                           "B128": bench_training.training_numbers(
                               B=128)})
-    run_optional("wavenet", lambda: bench_training.wavenet_numbers())
-    run_optional("ref_surface",
-                 lambda: bench_training.ref_surface_numbers())
 
 
 # ---------------------------------------------------------------------------
