@@ -32,9 +32,15 @@ def _setup_jax_cache():
         pass
 
 
-def training_numbers(B=8, T=1024, runs=10):
+def training_numbers(B=8, T=1024, runs=10, remat=None):
     """Train + inference frames/s and MFU for the Interspeech'18
-    acoustic architecture at batch ``B``, bucket ``T``."""
+    acoustic architecture at batch ``B``, bucket ``T``.
+
+    ``remat`` (default: on for B >= 64): rematerialise the BiLSTM
+    groups' activations in the backward pass.  At B >= 64 the scan
+    path's saved f32 residuals (x_proj alone is (2, B, T, 4F) ~= 2 GB
+    at B=64) thrash HBM and OOM at B=128; remat trades those saves for
+    recompute FLOPs, which the otherwise-idle MXU rows absorb."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -47,6 +53,12 @@ def training_numbers(B=8, T=1024, runs=10):
         "RNNDYN-2_RELU_1024-3_BiLSTM_512-1_FC_{}".format(D_out), D_in)
     cfg.input_names = ("questions",)
     cfg.output_names = ("pred",)
+    if remat is None:
+        remat = B >= 64
+    if remat:
+        for layer in cfg.layer_configs:
+            if "LSTM" in layer.layer_type:
+                layer.extra["remat"] = True
     model = cfg.create_model()
     rng = jax.random.PRNGKey(0)
     x = jnp.asarray(np.random.RandomState(0).randn(B, T, D_in),
