@@ -302,14 +302,16 @@ def _worker(stage_dir):
     run_optional("wavenet", lambda: bench_training.wavenet_numbers())
     run_optional("ref_surface",
                  lambda: bench_training.ref_surface_numbers())
-    # LAST and in its own stage: B=64/128 fill the MXU's 128-row tile
-    # in the BiLSTM recurrence matmuls (the batch shape is the MFU
-    # lever), but their first compile is slow on the tunneled backend
-    # — a timeout here must not take any other stage with it.
+    # LAST and in its own stage (slow first compile must not take any
+    # other stage with it).  B=64 documents the large-batch regime:
+    # beyond B=32 the fused train kernels' VMEM time block shrinks
+    # below profit and the XLA-scan fallback's f32 residuals thrash
+    # HBM (B=64 measured 37 TF/s vs B=32's 57.5; B=128 OOMs 21 GB /
+    # 15.75 GB) — B=32/chip + data-parallel chips is the optimal
+    # training shape, see docs/PERFORMANCE.md.
     run_optional("training_large",
-                 lambda: {"B64": bench_training.training_numbers(B=64),
-                          "B128": bench_training.training_numbers(
-                              B=128)})
+                 lambda: {"B64": bench_training.training_numbers(
+                     B=64, remat=False)})
 
 
 # ---------------------------------------------------------------------------
