@@ -92,8 +92,10 @@ def test_pcm16_packed_path_matches_float_path():
     variances = {"sp": np.abs(rng.randn(3 * D)) + 0.1,
                  "lf0": np.abs(rng.randn(3)) + 0.1,
                  "bap": np.abs(rng.randn(3 * NB)) + 0.1}
+    # 5 utterances: exercises the two-group pipelined dispatch
+    # (B >= 4 splits 3 + 2).
     questions = [rng.randn(90 + 17 * i, nq).astype(np.float32)
-                 for i in range(3)]
+                 for i in range(5)]
     params = {"W": W}
     pipeline = FusedAcousticPipeline(model_apply, variances,
                                      num_coded_sps=D, fs=16000)
@@ -101,7 +103,7 @@ def test_pcm16_packed_path_matches_float_path():
 
     floats = pipeline(params, questions, seed=3)
     pcms = pipeline(params, questions, seed=3, pcm16=True)
-    assert len(pcms) == len(floats) == 3
+    assert len(pcms) == len(floats) == 5
     for f, p in zip(floats, pcms):
         assert p.dtype == np.int16 and len(p) == len(f)
         peak = np.abs(f).max()
