@@ -287,41 +287,29 @@ class FusedAcousticPipeline:
                 # transfer dtype (bf16 on TPU) — the h2d payload drops
                 # to payload/padding ratio x dtype ratio (typically
                 # ~8-12x fewer bytes); the padded batch is rebuilt on
-                # device inside the jit.  Utterances are processed in
-                # (up to) two equal groups with all dispatches issued
-                # before the first fetch: on a high-latency link the
-                # second group's h2d + compute overlap the first
-                # group's device->host int16 transfer.
+                # device inside the jit.  ONE group, one dispatch, one
+                # fetch: splitting the batch to overlap transfers was
+                # measured SLOWER (115x vs 165-190x at B=6 — the
+                # smaller per-group batch costs more compute efficiency
+                # than the overlap recovers).
                 if device_output:
                     raise ValueError("pcm16 output is host-side only")
                 B = len(questions)
                 factors, tau = self._factors_for(T)
                 key = self._prng_key(seed)
-                groups = [list(range(B))]
-                if B >= 4:
-                    half = (B + 1) // 2
-                    groups = [list(range(half)), list(range(half, B))]
-                pending = []
-                for idx in groups:
-                    flat = np.concatenate(
-                        [np.asarray(questions[i], np.float32)
-                         for i in idx])
-                    flat_d = jnp.asarray(
-                        flat.astype(self.transfer_dtype)
-                        if self.transfer_dtype != np.float32 else flat)
-                    g_lengths = lengths[idx]
-                    g_f0 = (self._default_f0_cont(len(idx), T)
-                            if f0_cont is None
-                            else jnp.asarray(np.asarray(f0_cont)[idx]))
-                    pending.append((idx, g_lengths, self._run_pcm_packed(
-                        params, flat_d, jnp.asarray(g_lengths), g_f0,
-                        factors, tau, key, B=len(idx), T=T)))
-                out = [None] * B
-                for idx, g_lengths, wavs_d in pending:
-                    wavs = np.asarray(wavs_d)
-                    for j, i in enumerate(idx):
-                        out[i] = wavs[j, :int(g_lengths[j]) * self.hop]
-                return out
+                flat = np.concatenate(
+                    [np.asarray(q, np.float32) for q in questions])
+                flat_d = jnp.asarray(
+                    flat.astype(self.transfer_dtype)
+                    if self.transfer_dtype != np.float32 else flat)
+                if f0_cont is None:
+                    f0_cont = self._default_f0_cont(B, T)
+                wavs = np.asarray(self._run_pcm_packed(
+                    params, flat_d, jnp.asarray(lengths),
+                    jnp.asarray(f0_cont), factors, tau, key,
+                    B=B, T=T))
+                return [wavs[i, :int(l) * self.hop]
+                        for i, l in enumerate(lengths)]
             batch = np.zeros((len(questions), T, questions[0].shape[-1]),
                              np.float32)
             for i, q in enumerate(questions):
