@@ -32,20 +32,29 @@ def _setup_jax_cache():
         pass
 
 
-def training_numbers(B=8, T=1024, runs=10, remat=None):
+def training_numbers(B=8, T=1024, runs=10, remat=None,
+                     train_profile=False, bf16_residuals=True):
     """Train + inference frames/s and MFU for the Interspeech'18
     acoustic architecture at batch ``B``, bucket ``T``.
 
-    ``remat`` (default: on for B >= 64): rematerialise the BiLSTM
-    groups' activations in the backward pass.  At B >= 64 the scan
-    path's saved f32 residuals (x_proj alone is (2, B, T, 4F) ~= 2 GB
-    at B=64) thrash HBM and OOM at B=128; remat trades those saves for
-    recompute FLOPs, which the otherwise-idle MXU rows absorb."""
+    ``remat`` (default: on for B >= 64 without ``train_profile``):
+    rematerialise the BiLSTM groups' activations in the backward pass.
+    At B >= 64 the scan path's saved f32 residuals (x_proj alone is
+    (2, B, T, 4F) ~= 2 GB at B=64) thrash HBM and OOM at B=128; remat
+    trades those saves for recompute FLOPs, which the otherwise-idle
+    MXU rows absorb.
+
+    ``train_profile``: trace the train step under
+    ``pallas_ctx.train_profile`` — train-viability kernel dispatch
+    (fused kernels stay live up to B=64) with bf16 residual streams."""
+    import contextlib
+
     import jax
     import jax.numpy as jnp
     import optax
 
     from idiaptts_tpu.models.rnn_dyn import convert_legacy_string
+    from idiaptts_tpu.ops import pallas_ctx
 
     _setup_jax_cache()
     D_in, D_out = 409, 67
@@ -54,7 +63,7 @@ def training_numbers(B=8, T=1024, runs=10, remat=None):
     cfg.input_names = ("questions",)
     cfg.output_names = ("pred",)
     if remat is None:
-        remat = B >= 64
+        remat = B >= 64 and not train_profile
     if remat:
         for layer in cfg.layer_configs:
             if "LSTM" in layer.layer_type:
@@ -84,8 +93,12 @@ def training_numbers(B=8, T=1024, runs=10, remat=None):
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    params, opt_state, loss = train_step(params, opt_state, x, y, mask,
-                                         lengths)
+    # The profile flags are trace-time: wrap only the compiling call.
+    ctx = (pallas_ctx.train_profile(bf16_residuals=bf16_residuals)
+           if train_profile else contextlib.nullcontext())
+    with ctx:
+        params, opt_state, loss = train_step(params, opt_state, x, y,
+                                             mask, lengths)
     float(loss)
     # Steady-state timing: training steps chain through the params
     # dependency, so dispatching them back-to-back and syncing ONCE
@@ -132,6 +145,7 @@ def training_numbers(B=8, T=1024, runs=10, remat=None):
     infer_tflops = fwd_flops_per_frame * infer_fps / 1e12
     return {
         "batch": B, "bucket_T": T,
+        "train_profile": bool(train_profile),
         "train_frames_per_s": round(train_fps),
         "train_tflops_per_s": round(train_tflops, 2),
         "train_mfu_vs_197tf_peak": round(train_tflops / _PEAK_TFLOPS, 3),

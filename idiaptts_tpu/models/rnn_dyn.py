@@ -183,15 +183,27 @@ class _BiFastLSTM(nn.Module):
         # both directions share one block-diagonal matmul per step
         # (ops/pallas_lstm.py).  Falls back to einsum + recurrence-only
         # kernel, then to the pure scan.
+        from idiaptts_tpu.ops import pallas_ctx
         from idiaptts_tpu.ops.pallas_lstm import (
-            bilstm_layer_tmajor, bilstm_recurrence_tmajor, layer_viable,
-            pallas_viable, use_pallas_recurrence)
-        if use_pallas_recurrence() and (layer_viable(B, D, F)
-                                        or pallas_viable(B, F)):
+            bilstm_layer_tmajor, bilstm_recurrence_tmajor,
+            layer_train_viable, layer_viable, pallas_viable,
+            train_viable, use_pallas_recurrence)
+        # Training-step traces (pallas_ctx.train_profile) use the
+        # TRAIN viability gates: the kernels stay live up to a full
+        # 128-row MXU tile (B=64) because the scan VJP's f32 residual
+        # saves go HBM-bound there, where the inference gates would
+        # correctly hand those batches to the scan.
+        if pallas_ctx.train_profile_active():
+            use_layer = layer_train_viable(B, D, F)
+            use_rec = use_layer or train_viable(B, F)
+        else:
+            use_layer = layer_viable(B, D, F)
+            use_rec = use_layer or pallas_viable(B, F)
+        if use_pallas_recurrence() and use_rec:
             Bp = -(-B // 8) * 8      # sublane-align each direction
             xd_p = jnp.pad(xd, ((0, 0), (0, Bp - B), (0, 0), (0, 0)))
             wh_cat = jnp.concatenate([Wh[0], Wh[1]], axis=0)
-            if layer_viable(B, D, F):
+            if use_layer:
                 xin_t = jnp.transpose(xd_p.astype(jnp.bfloat16),
                                       (2, 0, 1, 3))  # (T, 2, Bp, D)
                 xin_t = xin_t.reshape(T, 2 * Bp, D)

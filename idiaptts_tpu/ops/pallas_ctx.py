@@ -53,6 +53,48 @@ def interpret_forced():
     return getattr(_STATE, "interpret", False)
 
 
+@contextmanager
+def train_profile(bf16_residuals=True):
+    """Mark the enclosed (tracing) region as a TRAINING-step trace.
+
+    Two trace-time effects on the fused BiLSTM kernels
+    (ops/pallas_lstm.py):
+
+    - dispatch uses the TRAIN viability gates (``train_viable`` /
+      ``layer_train_viable``) instead of the inference ones: training
+      keeps the kernels up to a full 128-row MXU tile (B=64) because
+      the alternative — the XLA scan's VJP — saves ~T*B*5F float32
+      residuals per layer and goes HBM-bound there, while the
+      inference-only gates hand large batches to the scan (where it
+      genuinely wins);
+    - with ``bf16_residuals`` (default) the train-mode forward streams
+      its backward residuals (post-activation gates, cell states, and
+      the upstream cotangent) in bfloat16 — halving both the VMEM
+      working set and the HBM residual traffic at ~bf16 rounding cost
+      on the gradients (the sequential dh/dc carries stay float32).
+
+    Inference dispatch is unaffected: traces outside this context
+    (serving, trainer.synth) never pay the residual streams anyway
+    (custom_vjp only runs the train-mode forward under
+    differentiation).
+    """
+    prev = getattr(_STATE, "train", None)
+    _STATE.train = {"bf16_residuals": bool(bf16_residuals)}
+    try:
+        yield
+    finally:
+        _STATE.train = prev
+
+
+def train_profile_active():
+    return getattr(_STATE, "train", None) is not None
+
+
+def train_residuals_bf16():
+    t = getattr(_STATE, "train", None)
+    return bool(t and t["bf16_residuals"])
+
+
 def fast_path_allowed():
     """The shared gate for every Pallas fast path: a real (non-CPU)
     backend AND a single-device trace — either literally, or marked so

@@ -53,18 +53,20 @@ _TIME_BLOCK = 8
 _VMEM_BUDGET = int(15.5 * 1024 * 1024)
 
 
-def _pick_time_block(R, F, G, train=False):
+def _pick_time_block(R, F, G, train=False, res_bytes=4):
     """Largest TB <= _TIME_BLOCK whose working set fits VMEM; 0 if even
     TB=1 cannot fit (caller falls back to the scan).  R is rounded up
     to the 8-row hardware tile for the estimate.  ``train`` adds the
     residual outputs the backward kernel consumes (post-activation
-    gates 4F + cell states F, double-buffered)."""
+    gates 4F + cell states F, double-buffered) at ``res_bytes`` per
+    element (4 = float32 streams, 2 = the bf16 streams of
+    ``pallas_ctx.train_profile``)."""
     R = int(np.ceil(max(R, 1) / 8) * 8)
     weights = 2 * F * G * 2                       # bf16, resident
     carry = R * (2 * F + F) * 4                   # h + c scratch
     per_tb = R * (G + F) * 4 * 2                  # in+out, double-buffered
     if train:
-        per_tb += R * (G + F) * 4 * 2             # gate + cell residuals
+        per_tb += R * (G + F) * res_bytes * 2     # gate + cell residuals
     budget = _VMEM_BUDGET - weights - carry
     if budget < per_tb:
         return 0
@@ -183,11 +185,14 @@ def _bilstm_kernel_train(xp_ref, wh_ref, out_ref, a_ref, cout_ref,
         o = jax.nn.sigmoid(gates[:, 3 * F:4 * F])
         c = f * c_ref[...] + i * g
         h = o * jnp.tanh(c)
-        a_ref[t, :, 0 * F:1 * F] = i
-        a_ref[t, :, 1 * F:2 * F] = f
-        a_ref[t, :, 2 * F:3 * F] = g
-        a_ref[t, :, 3 * F:4 * F] = o
-        cout_ref[t] = c
+        # Residual streams round to the output dtype (f32, or bf16
+        # under pallas_ctx.train_profile); the carries stay f32 so the
+        # hidden states remain bit-identical either way.
+        a_ref[t, :, 0 * F:1 * F] = i.astype(a_ref.dtype)
+        a_ref[t, :, 1 * F:2 * F] = f.astype(a_ref.dtype)
+        a_ref[t, :, 2 * F:3 * F] = g.astype(a_ref.dtype)
+        a_ref[t, :, 3 * F:4 * F] = o.astype(a_ref.dtype)
+        cout_ref[t] = c.astype(cout_ref.dtype)
         c_ref[...] = c
         h_ref[0:Bp, 0:F] = h[0:Bp]
         h_ref[Bp:Bp2, F:2 * F] = h[Bp:Bp2]
@@ -197,13 +202,17 @@ def _bilstm_kernel_train(xp_ref, wh_ref, out_ref, a_ref, cout_ref,
     jax.lax.fori_loop(0, tb, step, 0, unroll=True)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def _recurrence_train_tmajor(xp_t, wh_cat, interpret=False):
+@partial(jax.jit, static_argnames=("res_bf16", "interpret"))
+def _recurrence_train_tmajor(xp_t, wh_cat, res_bf16=False,
+                             interpret=False):
     """Train-mode driver: returns (h, gates, cells), each time-major.
-    Caller must have checked ``_pick_time_block(..., train=True)``."""
+    Caller must have checked ``_pick_time_block(..., train=True)``.
+    ``res_bf16`` streams the gate/cell residuals in bfloat16."""
     T, R, G = xp_t.shape
     F = G // 4
-    TB = max(_pick_time_block(R, F, G, train=True), 1)
+    rdt = jnp.bfloat16 if res_bf16 else jnp.float32
+    TB = max(_pick_time_block(R, F, G, train=True,
+                              res_bytes=2 if res_bf16 else 4), 1)
     T_pad = int(np.ceil(T / TB) * TB)
     xp_t = jnp.pad(xp_t, ((0, T_pad - T), (0, 0), (0, 0)))
 
@@ -212,8 +221,8 @@ def _recurrence_train_tmajor(xp_t, wh_cat, interpret=False):
         grid=(T_pad // TB,),
         out_shape=(
             jax.ShapeDtypeStruct((T_pad, R, F), jnp.float32),
-            jax.ShapeDtypeStruct((T_pad, R, G), jnp.float32),
-            jax.ShapeDtypeStruct((T_pad, R, F), jnp.float32),
+            jax.ShapeDtypeStruct((T_pad, R, G), rdt),
+            jax.ShapeDtypeStruct((T_pad, R, F), rdt),
         ),
         in_specs=[
             pl.BlockSpec((TB, R, G), lambda i: (i, 0, 0)),
@@ -235,15 +244,17 @@ def _recurrence_train_tmajor(xp_t, wh_cat, interpret=False):
     return out[:T], a[:T], c[:T]
 
 
-def _pick_bwd_time_block(R, F):
+def _pick_bwd_time_block(R, F, res_bytes=4):
     """Largest TB <= _TIME_BLOCK for the backward kernel: resident
     Wh^T (4F, 2F) bf16, f32 dh/dc carries, and double-buffered streams
-    of gates + cells + shifted cells + output cotangent in, dz out."""
+    of gates + cells + shifted cells + output cotangent in (at
+    ``res_bytes`` per element), dz out (always f32 — it feeds the db
+    reduction directly)."""
     R = int(np.ceil(max(R, 1) / 8) * 8)
     G = 4 * F
     weights = G * 2 * F * 2
     carry = R * 2 * F * 4
-    per_tb = R * (2 * G + 3 * F) * 4 * 2
+    per_tb = R * ((G + 3 * F) * res_bytes + G * 4) * 2
     budget = _VMEM_BUDGET - weights - carry
     if budget < per_tb:
         return 0
@@ -285,16 +296,19 @@ def _bilstm_bwd_kernel(a_ref, c_ref, cprev_ref, gout_ref, whT_ref,
 
     def step(k, _):
         t = tb - 1 - k
-        a = a_ref[t]
+        # Residual streams may arrive bf16 (train_profile); all the
+        # derivative math runs f32 on the VPU after the upcast.
+        a = a_ref[t].astype(jnp.float32)
         i = a[:, 0 * F:1 * F]
         f = a[:, 1 * F:2 * F]
         g = a[:, 2 * F:3 * F]
         o = a[:, 3 * F:4 * F]
-        tc = jnp.tanh(c_ref[t])
-        dh_tot = gout_ref[t] + dh_ref[...]
+        tc = jnp.tanh(c_ref[t].astype(jnp.float32))
+        dh_tot = gout_ref[t].astype(jnp.float32) + dh_ref[...]
         dc = dc_ref[...] + dh_tot * o * (1.0 - tc * tc)
         dz_s[:, 0 * F:1 * F] = dc * g * (i * (1.0 - i))
-        dz_s[:, 1 * F:2 * F] = dc * cprev_ref[t] * (f * (1.0 - f))
+        dz_s[:, 1 * F:2 * F] = (dc * cprev_ref[t].astype(jnp.float32)
+                                * (f * (1.0 - f)))
         dz_s[:, 2 * F:3 * F] = dc * i * (1.0 - g * g)
         dz_s[:, 3 * F:4 * F] = dh_tot * tc * (o * (1.0 - o))
         dc_ref[...] = dc * f
@@ -320,16 +334,19 @@ def _dz_bwd_tmajor(a, c, gout, wh_cat, interpret=False):
     Caller must have checked ``_pick_bwd_time_block``."""
     T, R, G = a.shape
     F = G // 4
-    TB = max(_pick_bwd_time_block(R, F), 1)
+    res_bytes = 2 if a.dtype == jnp.bfloat16 else 4
+    TB = max(_pick_bwd_time_block(R, F, res_bytes), 1)
     T_pad = int(np.ceil(T / TB) * TB)
     cprev = jnp.concatenate([jnp.zeros_like(c[:1]), c[:-1]], axis=0)
     pad = ((0, T_pad - T), (0, 0), (0, 0))
     # Zero padding keeps the carries exact: padded steps see zero
     # gates/cotangents, so dz=0 and dh/dc stay untouched through them.
+    # The upstream cotangent rides the residual dtype (bf16 under
+    # train_profile) so its stream is as cheap as the saved gates.
     a = jnp.pad(a, pad)
     c = jnp.pad(c, pad)
     cprev = jnp.pad(cprev, pad)
-    gout = jnp.pad(gout, pad)
+    gout = jnp.pad(gout.astype(a.dtype), pad)
     nb = T_pad // TB
 
     def rev(i):
@@ -385,6 +402,43 @@ def pallas_viable(B, F):
     Bp = int(np.ceil(max(B, 1) / 8) * 8)
     G = 4 * F
     return _pick_time_block(2 * Bp, F, G) >= _TIME_BLOCK
+
+
+def train_viable(B, F):
+    """Recurrence-kernel dispatch gate for TRAINING-step traces
+    (``pallas_ctx.train_profile``).  Unlike ``pallas_viable`` — which
+    hands large batches to the scan because the inference scan gets
+    full MXU row tiles there — training keeps the kernel up to a full
+    128-row MXU tile (B=64): the scan's VJP saves ~T*B*5F float32
+    residuals per layer (x_proj alone is 2 GB at B=64/T=1024/F=512)
+    and goes HBM-bound in the backward, while the fused backward
+    streams half that (bf16) with no forward recompute."""
+    if F % 128 != 0:
+        return False
+    Bp = int(np.ceil(max(B, 1) / 8) * 8)
+    R = 2 * Bp
+    if R > 128:
+        return False
+    G = 4 * F
+    rb = 2 if _residuals_bf16_now() else 4
+    return (_pick_time_block(R, F, G, train=True, res_bytes=rb) >= 2
+            and _pick_bwd_time_block(R, F, rb) >= 2)
+
+
+def layer_train_viable(B, D, F):
+    """Fused-projection-layer dispatch gate for training-step traces:
+    the train-mode layer kernel additionally streams the backward
+    residuals, so its VMEM calculus differs from ``layer_viable``."""
+    if F % 128 != 0:
+        return False
+    Bp = int(np.ceil(max(B, 1) / 8) * 8)
+    R = 2 * Bp
+    if R > 128:
+        return False
+    rb = 2 if _residuals_bf16_now() else 4
+    return (_pick_layer_time_block(R, D, F, train=True,
+                                   res_bytes=rb) >= 2
+            and _pick_bwd_time_block(R, F, rb) >= 2)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -472,13 +526,22 @@ def bilstm_recurrence_tmajor(xp_t, wh_cat):
     return _recurrence_tmajor(xp_t, wh_cat, interpret=_interpret_now())
 
 
+def _residuals_bf16_now():
+    """Trace-time residual-precision flag (pallas_ctx.train_profile)."""
+    from idiaptts_tpu.ops import pallas_ctx
+
+    return pallas_ctx.train_residuals_bf16()
+
+
 def _bilstm_fwd(xp_t, wh_cat):
     interp = _interpret_now()
     T, R, G = xp_t.shape
     F = G // 4
-    if (_pick_time_block(R, F, G, train=True) >= 1
-            and _pick_bwd_time_block(R, F) >= 1):
+    rb = 2 if _residuals_bf16_now() else 4
+    if (_pick_time_block(R, F, G, train=True, res_bytes=rb) >= 1
+            and _pick_bwd_time_block(R, F, rb) >= 1):
         h, a, c = _recurrence_train_tmajor(xp_t, wh_cat,
+                                           res_bf16=(rb == 2),
                                            interpret=interp)
         return h, (None, wh_cat, h, a, c)
     return (_recurrence_tmajor(xp_t, wh_cat, interpret=interp),
@@ -581,9 +644,10 @@ def _bilstm_layer_kernel(xin_ref, wx_ref, wh_ref, b_ref, out_ref,
     jax.lax.fori_loop(0, tb, step, 0, unroll=True)
 
 
-def _pick_layer_time_block(R, D, F, train=False):
+def _pick_layer_time_block(R, D, F, train=False, res_bytes=4):
     """Largest TB <= _TIME_BLOCK for the fused-projection kernel.
-    ``train`` adds the gate/cell residual outputs."""
+    ``train`` adds the gate/cell residual outputs at ``res_bytes`` per
+    element (2 = the bf16 streams of ``pallas_ctx.train_profile``)."""
     R = int(np.ceil(max(R, 1) / 8) * 8)
     Dp = int(np.ceil(max(D, 1) / 8) * 8)
     G = 4 * F
@@ -592,7 +656,7 @@ def _pick_layer_time_block(R, D, F, train=False):
     # per-TB: bf16 in + f32 out, double-buffered, + f32 xp scratch
     per_tb = R * (Dp * 2 + F * 4) * 2 + R * G * 4
     if train:
-        per_tb += R * (G + F) * 4 * 2             # gate + cell residuals
+        per_tb += R * (G + F) * res_bytes * 2     # gate + cell residuals
     budget = _VMEM_BUDGET - weights - carry
     if budget < per_tb:
         return 0
@@ -710,11 +774,11 @@ def _bilstm_layer_kernel_train(xin_ref, wx_ref, wh_ref, b_ref, out_ref,
         o = jax.nn.sigmoid(gates[:, 3 * F:4 * F])
         c = f * c_ref[...] + i * g
         h = o * jnp.tanh(c)
-        a_ref[t, :, 0 * F:1 * F] = i
-        a_ref[t, :, 1 * F:2 * F] = f
-        a_ref[t, :, 2 * F:3 * F] = g
-        a_ref[t, :, 3 * F:4 * F] = o
-        cout_ref[t] = c
+        a_ref[t, :, 0 * F:1 * F] = i.astype(a_ref.dtype)
+        a_ref[t, :, 1 * F:2 * F] = f.astype(a_ref.dtype)
+        a_ref[t, :, 2 * F:3 * F] = g.astype(a_ref.dtype)
+        a_ref[t, :, 3 * F:4 * F] = o.astype(a_ref.dtype)
+        cout_ref[t] = c.astype(cout_ref.dtype)
         c_ref[...] = c
         h_ref[0:Bp, 0:F] = h[0:Bp]
         h_ref[Bp:Bp2, F:2 * F] = h[Bp:Bp2]
@@ -724,14 +788,18 @@ def _bilstm_layer_kernel_train(xin_ref, wx_ref, wh_ref, b_ref, out_ref,
     jax.lax.fori_loop(0, tb, step, 0, unroll=True)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def _layer_train_tmajor(xin_t, wx, wh_cat, b, interpret=False):
+@partial(jax.jit, static_argnames=("res_bf16", "interpret"))
+def _layer_train_tmajor(xin_t, wx, wh_cat, b, res_bf16=False,
+                        interpret=False):
     """Train-mode fused-layer driver: returns (h, gates, cells).
-    Caller must have checked ``_pick_layer_time_block(train=True)``."""
+    Caller must have checked ``_pick_layer_time_block(train=True)``.
+    ``res_bf16`` streams the gate/cell residuals in bfloat16."""
     T, R, D = xin_t.shape
     F = wh_cat.shape[0] // 2
     G = 4 * F
-    TB = max(_pick_layer_time_block(R, D, F, train=True), 1)
+    rdt = jnp.bfloat16 if res_bf16 else jnp.float32
+    TB = max(_pick_layer_time_block(R, D, F, train=True,
+                                    res_bytes=2 if res_bf16 else 4), 1)
     T_pad = int(np.ceil(T / TB) * TB)
     xin_t = jnp.pad(xin_t, ((0, T_pad - T), (0, 0), (0, 0)))
 
@@ -740,8 +808,8 @@ def _layer_train_tmajor(xin_t, wx, wh_cat, b, interpret=False):
         grid=(T_pad // TB,),
         out_shape=(
             jax.ShapeDtypeStruct((T_pad, R, F), jnp.float32),
-            jax.ShapeDtypeStruct((T_pad, R, G), jnp.float32),
-            jax.ShapeDtypeStruct((T_pad, R, F), jnp.float32),
+            jax.ShapeDtypeStruct((T_pad, R, G), rdt),
+            jax.ShapeDtypeStruct((T_pad, R, F), rdt),
         ),
         in_specs=[
             pl.BlockSpec((TB, R, D), lambda i: (i, 0, 0)),
@@ -784,9 +852,11 @@ def _layer_fwd(xin_t, wx, wh_cat, b):
     interp = _interpret_now()
     T, R, D = xin_t.shape
     F = wh_cat.shape[0] // 2
-    if (_pick_layer_time_block(R, D, F, train=True) >= 1
-            and _pick_bwd_time_block(R, F) >= 1):
+    rb = 2 if _residuals_bf16_now() else 4
+    if (_pick_layer_time_block(R, D, F, train=True, res_bytes=rb) >= 1
+            and _pick_bwd_time_block(R, F, rb) >= 1):
         h, a, c = _layer_train_tmajor(xin_t, wx, wh_cat, b,
+                                      res_bf16=(rb == 2),
                                       interpret=interp)
         return h, (xin_t, wx, wh_cat, None, h, a, c)
     return (_layer_tmajor(xin_t, wx, wh_cat, b, interpret=interp),

@@ -173,6 +173,56 @@ def test_fused_recurrence_backward_matches_scan_gradients():
                                rtol=2e-2, atol=2e-3)
 
 
+def test_bf16_residual_streams_gradients_close_to_f32():
+    """Under ``pallas_ctx.train_profile`` the train-mode forward
+    streams its backward residuals in bfloat16.  The hidden states
+    stay bit-identical (carries are f32; only the streamed copies
+    round), and the gradients stay within bf16-rounding distance of
+    the f32-residual fused path."""
+    from idiaptts_tpu.ops import pallas_ctx, pallas_lstm
+
+    xin, wx, wh_cat, b = _layer_inputs(T=19)
+
+    def loss(*args):
+        return jnp.sum(pallas_lstm.bilstm_layer_tmajor(*args) ** 2)
+
+    with pallas_ctx.force_interpret():
+        h32, a32, _ = pallas_lstm._layer_train_tmajor(
+            xin, wx, wh_cat, b, interpret=True)
+        h16, a16, c16 = pallas_lstm._layer_train_tmajor(
+            xin, wx, wh_cat, b, res_bf16=True, interpret=True)
+        g32 = jax.grad(loss, argnums=(0, 1, 2, 3))(xin, wx, wh_cat, b)
+        with pallas_ctx.train_profile(bf16_residuals=True):
+            g16 = jax.grad(loss, argnums=(0, 1, 2, 3))(xin, wx,
+                                                       wh_cat, b)
+    assert a32.dtype == jnp.float32 and a16.dtype == jnp.bfloat16
+    assert c16.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(h16), np.asarray(h32))
+    # Worst case measured at this shape: ~1.3e-2 absolute on dWx
+    # (errors of the rounded gate residuals correlate across the
+    # T*R-term weight-gradient reduction); everything else is at
+    # bf16-rounding scale.  Training-level acceptability is pinned by
+    # the Adam trajectory test in test_shard_map_training.py.
+    for got, ref in zip(g16, g32):
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   rtol=5e-2, atol=2e-2)
+
+
+def test_train_profile_viability_gates():
+    """The train gates keep the kernels live at batches the inference
+    gates hand to the scan (B=64 is one full 128-row MXU tile) and cap
+    out beyond that."""
+    from idiaptts_tpu.ops import pallas_ctx, pallas_lstm
+
+    F = 512
+    assert not pallas_lstm.pallas_viable(64, F)
+    with pallas_ctx.train_profile(bf16_residuals=True):
+        assert pallas_lstm.train_viable(32, F)
+        assert pallas_lstm.train_viable(64, F)
+        assert not pallas_lstm.train_viable(96, F)
+
+
 def test_backward_falls_back_to_scan_vjp_when_not_viable(monkeypatch):
     """When the backward working set cannot fit VMEM the custom_vjp
     silently uses the scan VJP (forward-recompute) — gradients equal
@@ -181,7 +231,7 @@ def test_backward_falls_back_to_scan_vjp_when_not_viable(monkeypatch):
     from idiaptts_tpu.ops import pallas_ctx
 
     monkeypatch.setattr(pallas_lstm, "_pick_bwd_time_block",
-                        lambda R, F: 0)
+                        lambda *a, **k: 0)
     xin, wx, wh_cat, b = _layer_inputs()
 
     def loss_scan(*args):
