@@ -225,6 +225,33 @@ def wavenet_numbers(batches=(16, 64, 256), seconds=1.0, runs=2):
     results["best_batch"] = best[0]
     results["best_xrt"] = best[1]
     results["best_serve_xrt"] = best[2]
+
+    # Pipelined serving at the best batch: dispatch the NEXT batch's
+    # generation before fetching the previous batch's int16 waveform,
+    # so the device->host transfer rides under the device's compute
+    # (dispatch is async; np.asarray on the previous result forces its
+    # transfer while the new batch executes).  This is how a real
+    # serving loop behaves — the serial serve number above pays the
+    # transfer on the critical path.
+    Bb = best[0]
+    cond = jnp.tile(base, (Bb, 1, 1))
+    n_pipe = 3
+    prev = generate(params, cfg, cond, rng=jax.random.PRNGKey(9),
+                    device_output=True)
+    np.asarray(encode(prev))                      # warm
+    t0 = time.time()
+    prev = generate(params, cfg, cond, rng=jax.random.PRNGKey(10),
+                    device_output=True)
+    for i in range(1, n_pipe):
+        nxt = generate(params, cfg, cond,
+                       rng=jax.random.PRNGKey(10 + i),
+                       device_output=True)
+        np.asarray(encode(prev))
+        prev = nxt
+    np.asarray(encode(prev))
+    elapsed = time.time() - t0
+    results["pipelined_serve_xrt"] = round(
+        n_pipe * Bb * T / 16000.0 / elapsed, 1)
     return results
 
 
