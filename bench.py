@@ -303,15 +303,15 @@ def _worker(stage_dir):
     run_optional("ref_surface",
                  lambda: bench_training.ref_surface_numbers())
     # LAST and in its own stage (slow first compile must not take any
-    # other stage with it).  B=64 documents the large-batch regime:
-    # beyond B=32 the fused train kernels' VMEM time block shrinks
-    # below profit and the XLA-scan fallback's f32 residuals thrash
-    # HBM (B=64 measured 37 TF/s vs B=32's 57.5; B=128 OOMs 21 GB /
-    # 15.75 GB) — B=32/chip + data-parallel chips is the optimal
-    # training shape, see docs/PERFORMANCE.md.
+    # other stage with it).  B=64 under the round-5 train profile —
+    # the handler's production configuration at this batch: fused
+    # kernels stay live to the full 128-row MXU tile with bf16
+    # residual streams (62.3 TF/s / 31.6% MFU measured, vs the
+    # round-4 scan fallback's 37.1 TF/s; B=128 OOMs 21 GB / 15.75 GB).
+    # See docs/PERFORMANCE.md for the full configuration matrix.
     run_optional("training_large",
                  lambda: {"B64": bench_training.training_numbers(
-                     B=64, remat=False)})
+                     B=64, remat=False, train_profile=True)})
 
 
 # ---------------------------------------------------------------------------
