@@ -260,21 +260,32 @@ def ref_surface_numbers(runs=3):
     model+MLPG+vocoder jit + wav file writing) on the fixture corpus.
     Unlike the headline this includes the device->host waveform
     transfer and PCM16 encoding — the number a user of trainer.synth
-    sees."""
-    fixtures = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "tests", "fixtures")
-    if not os.path.isdir(fixtures):
-        return None
+    sees.  Prefers the reference's LJSpeech fixture corpus (the same
+    9 utterances / ~58 s the headline measures — representative
+    utterance lengths); falls back to the repo-local corpus (6 short
+    clips, ~10 s, where fixed per-call round trips dominate the
+    xRT)."""
     from idiaptts_tpu.data.questions import QuestionSet
     from idiaptts_tpu.models.rnn_dyn import convert_legacy_string
     from idiaptts_tpu.ops.audio_io import get_raw
     from idiaptts_tpu.train.acoustic import AcousticModelTrainer
 
     _setup_jax_cache()
-    num_questions = QuestionSet(os.path.join(
-        fixtures, "questions-gen_dnn.hed")).dict_size + 9
-    with open(os.path.join(fixtures, "file_id_list.txt")) as f:
-        ids = [line.strip() for line in f if line.strip()]
+    ref_fixtures = "/root/reference/test/integration/fixtures"
+    local = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "tests", "fixtures")
+    if os.path.isdir(ref_fixtures):
+        fixtures = ref_fixtures
+        ids = ["LJ001-000{}".format(i) for i in range(1, 10)]
+        num_questions = 409
+    elif os.path.isdir(local):
+        fixtures = local
+        num_questions = QuestionSet(os.path.join(
+            local, "questions-gen_dnn.hed")).dict_size + 9
+        with open(os.path.join(local, "file_id_list.txt")) as f:
+            ids = [line.strip() for line in f if line.strip()]
+    else:
+        return None
     hparams = AcousticModelTrainer.create_hparams()
     hparams.num_questions = num_questions
     hparams.num_coded_sps = 20

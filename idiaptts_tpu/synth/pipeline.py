@@ -175,26 +175,56 @@ class FusedAcousticPipeline:
             return (jnp.clip(wavs, -1.0, 1.0)
                     * 32767.0).astype(jnp.int16)
 
-        def run_pcm_packed(params, flat, lengths_b, f0_cont_b,
-                           factors, tau, key, B, T):
-            # Packed-transfer variant: ``flat`` is the CONCATENATED
-            # un-padded question frames (sumT, D) — on a tunneled
-            # device the h2d link is the reference-surface synth
-            # path's dominant cost, and zero padding to the bucket is
-            # typically 3-6x the real payload.  The padded (B, T, D)
-            # batch is rebuilt on device with a row gather (index
-            # sumT = appended zero row for the padding).
-            flat = jnp.concatenate(
-                [flat.astype(jnp.float32),
-                 jnp.zeros((1, flat.shape[-1]), jnp.float32)])
+        def rebuild_padded(flat_f32, lengths_b, T):
+            # Rebuild the padded (B, T, D) batch from concatenated
+            # un-padded frames with a row gather (index sumT = an
+            # appended zero row for the padding).
+            flat_f32 = jnp.concatenate(
+                [flat_f32,
+                 jnp.zeros((1, flat_f32.shape[-1]), jnp.float32)])
             offs = jnp.concatenate(
                 [jnp.zeros((1,), jnp.int32),
                  jnp.cumsum(lengths_b)[:-1].astype(jnp.int32)])
             t_idx = jnp.arange(T, dtype=jnp.int32)
             idx = jnp.where(t_idx[None, :] < lengths_b[:, None],
                             offs[:, None] + t_idx[None, :],
-                            flat.shape[0] - 1)
-            questions_b = flat[idx]
+                            flat_f32.shape[0] - 1)
+            return flat_f32[idx]
+
+        def run_pcm_packed(params, flat, lengths_b, f0_cont_b,
+                           factors, tau, key, B, T):
+            # Packed-transfer variant: ``flat`` is the CONCATENATED
+            # un-padded question frames (sumT, D) — on a tunneled
+            # device the h2d link is the reference-surface synth
+            # path's dominant cost, and zero padding to the bucket is
+            # typically 3-6x the real payload.
+            questions_b = rebuild_padded(flat.astype(jnp.float32),
+                                         lengths_b, T)
+            return run_pcm(params, questions_b, lengths_b, f0_cont_b,
+                           factors, tau, key)
+
+        def run_pcm_bits(params, packed, lo, hi, numeric, lengths_b,
+                         f0_cont_b, factors, tau, key, B, T, inv_perm,
+                         nb):
+            # Bit-packed transfer: HTS question answers are binary
+            # (two-valued per column even after mean/std
+            # normalisation), so the host ships them 1 BIT per value
+            # (np.packbits rows) plus each packed column's two values
+            # (lo, hi) and the few genuinely numeric columns (subphone
+            # features / continuous questions) in f32 — ~9x fewer h2d
+            # bytes than the bf16 stream, and EXACT: reconstruction is
+            # a select between the original f32 values, not
+            # arithmetic.  ``inv_perm`` is a static tuple so the
+            # column restore compiles to a constant gather.
+            shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+            bits = (packed[:, :, None] >> shifts) & jnp.uint8(1)
+            bits = bits.reshape(packed.shape[0], -1)[:, :nb]
+            vals = jnp.where(bits > 0, hi[None, :], lo[None, :])
+            full = jnp.concatenate(
+                [vals, numeric.astype(jnp.float32)], axis=1)
+            full = jnp.take(full, jnp.asarray(inv_perm, jnp.int32),
+                            axis=1)
+            questions_b = rebuild_padded(full, lengths_b, T)
             return run_pcm(params, questions_b, lengths_b, f0_cont_b,
                            factors, tau, key)
 
@@ -223,6 +253,8 @@ class FusedAcousticPipeline:
         self._run_pcm = jax.jit(run_pcm)
         self._run_pcm_packed = jax.jit(run_pcm_packed,
                                        static_argnames=("B", "T"))
+        self._run_pcm_bits = jax.jit(
+            run_pcm_bits, static_argnames=("B", "T", "inv_perm", "nb"))
         # Transfer dtype for the packed h2d payload: bf16 halves the
         # tunnel bytes and matches the model's MXU compute dtype; on
         # CPU (tests, quality pins) keep f32 so recorded pins are
@@ -230,6 +262,11 @@ class FusedAcousticPipeline:
         self.transfer_dtype = (
             jnp.bfloat16 if jax.default_backend() != "cpu"
             else jnp.float32)
+        # Bit-packed h2d for two-valued (question) columns: exact on
+        # any platform, but only the tunneled/remote links care; CPU
+        # stays on the dense f32 path so recorded pins keep their
+        # byte-identical inputs.  Tests flip this on explicitly.
+        self.pack_bits = jax.default_backend() != "cpu"
 
     def stage_jits(self):
         """Individually jitted (model, mlpg, vocoder) stage functions —
@@ -299,11 +336,42 @@ class FusedAcousticPipeline:
                 key = self._prng_key(seed)
                 flat = np.concatenate(
                     [np.asarray(q, np.float32) for q in questions])
+                if f0_cont is None:
+                    f0_cont = self._default_f0_cont(B, T)
+                # Bit-pack the two-valued columns (HTS question
+                # answers stay two-valued through mean/std
+                # normalisation) when they dominate: 1 bit/value +
+                # per-column (lo, hi) beats even the bf16 stream ~4x,
+                # and is EXACT (on-device select between the original
+                # f32 values).  Column split recomputed per call — a
+                # column that stops being two-valued just reroutes to
+                # the dense path (the jit keys on the static split).
+                lo = flat.min(axis=0)
+                hi = flat.max(axis=0)
+                two_valued = np.logical_or(flat == lo, flat == hi) \
+                    .all(axis=0)
+                if (self.pack_bits
+                        and two_valued.sum() >= flat.shape[1] // 2):
+                    bin_idx = np.where(two_valued)[0]
+                    num_idx = np.where(~two_valued)[0]
+                    perm = np.concatenate([bin_idx, num_idx])
+                    inv_perm = tuple(int(i) for i in np.argsort(perm))
+                    packed = np.packbits(
+                        flat[:, bin_idx] == hi[bin_idx], axis=1)
+                    numeric = np.ascontiguousarray(flat[:, num_idx])
+                    wavs = np.asarray(self._run_pcm_bits(
+                        params, jnp.asarray(packed),
+                        jnp.asarray(lo[bin_idx]),
+                        jnp.asarray(hi[bin_idx]),
+                        jnp.asarray(numeric), jnp.asarray(lengths),
+                        jnp.asarray(f0_cont), factors, tau, key,
+                        B=B, T=T, inv_perm=inv_perm,
+                        nb=int(len(bin_idx))))
+                    return [wavs[i, :int(l) * self.hop]
+                            for i, l in enumerate(lengths)]
                 flat_d = jnp.asarray(
                     flat.astype(self.transfer_dtype)
                     if self.transfer_dtype != np.float32 else flat)
-                if f0_cont is None:
-                    f0_cont = self._default_f0_cont(B, T)
                 wavs = np.asarray(self._run_pcm_packed(
                     params, flat_d, jnp.asarray(lengths),
                     jnp.asarray(f0_cont), factors, tau, key,

@@ -113,3 +113,47 @@ def test_pcm16_packed_path_matches_float_path():
         # boundary (the documented pcm16 contract).
         np.testing.assert_allclose(p.astype(np.int32),
                                    want.astype(np.int32), atol=1)
+
+
+def test_pcm16_bit_packed_path_is_exact():
+    """The bit-packed question transfer (two-valued columns shipped
+    1 bit/value + per-column (lo, hi); numeric columns f32) must be
+    EXACT vs the dense-f32 pcm16 path — reconstruction is a select
+    between the original float values, so the int16 waveforms are
+    bit-identical."""
+    import jax.numpy as jnp
+    from idiaptts_tpu.synth.pipeline import FusedAcousticPipeline
+
+    D, NB, nq = 20, 1, 41
+    rng = np.random.RandomState(7)
+    W = jnp.asarray(rng.randn(nq, 3 * (D + 1 + NB) + 1) * 0.01,
+                    jnp.float32)
+
+    def model_apply(params, q, lengths):
+        return q @ params["W"]
+
+    variances = {"sp": np.abs(rng.randn(3 * D)) + 0.1,
+                 "lf0": np.abs(rng.randn(3)) + 0.1,
+                 "bap": np.abs(rng.randn(3 * NB)) + 0.1}
+    # 32 two-valued "question" columns (normalised binary: arbitrary
+    # lo/hi per column, incl. a constant column) + 9 numeric columns.
+    questions = []
+    lo = rng.randn(32).astype(np.float32)
+    hi = lo + np.abs(rng.randn(32)).astype(np.float32)
+    hi[3] = lo[3]                                    # constant column
+    for i in range(4):
+        T = 70 + 13 * i
+        bits = rng.randint(0, 2, (T, 32))
+        q = np.concatenate([
+            np.where(bits, hi[None, :], lo[None, :]),
+            rng.randn(T, 9)], axis=1).astype(np.float32)
+        questions.append(q)
+    params = {"W": W}
+    pipeline = FusedAcousticPipeline(model_apply, variances,
+                                     num_coded_sps=D, fs=16000)
+    assert not pipeline.pack_bits                    # CPU default
+    dense = pipeline(params, questions, seed=5, pcm16=True)
+    pipeline.pack_bits = True
+    packed = pipeline(params, questions, seed=5, pcm16=True)
+    for d, p in zip(dense, packed):
+        np.testing.assert_array_equal(d, p)
