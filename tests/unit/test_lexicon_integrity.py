@@ -46,7 +46,7 @@ def test_validator_clean():
 
 def test_entry_count_floor():
     fe = BuiltinFrontEnd()
-    assert len(fe.lexicon) >= 7000
+    assert len(fe.lexicon) >= 10000
 
 
 def _prompt_words():
