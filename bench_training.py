@@ -309,10 +309,15 @@ def ref_surface_numbers(runs=3):
     trainer.init(hparams, model_config=cfg)
 
     paths = trainer.synth(hparams, ids)      # warmup / compile
-    t0 = time.time()
-    for _ in range(runs):
+    # Median of per-run samples: a single tunnel-load hiccup (multi-
+    # hundred-ms round-trip jitter was observed) must not halve the
+    # reported number the way a mean would.
+    samples = []
+    for _ in range(max(runs, 5)):
+        t0 = time.time()
         paths = trainer.synth(hparams, ids)
-    elapsed = (time.time() - t0) / runs
+        samples.append(time.time() - t0)
+    elapsed = float(np.median(samples))
     audio_seconds = sum(len(get_raw(p)[0]) / 16000.0
                         for p in paths.values())
     return {"synth_xrt": round(audio_seconds / elapsed, 2),
