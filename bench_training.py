@@ -155,7 +155,7 @@ def training_numbers(B=8, T=1024, runs=10, remat=None,
     }
 
 
-def wavenet_numbers(batches=(16, 64, 256), seconds=1.0, runs=2):
+def wavenet_numbers(batches=(16, 64, 256), seconds=1.0, runs=3):
     """Autoregressive WaveNet generation throughput through the public
     ``generate()`` at several batch sizes; aggregate xRT =
     B*seconds/elapsed.  B=16 runs the fused Pallas sampler (VMEM caps
@@ -204,20 +204,23 @@ def wavenet_numbers(batches=(16, 64, 256), seconds=1.0, runs=2):
         w = generate(params, cfg, cond, rng=jax.random.PRNGKey(1),
                      device_output=True)          # warmup/compile
         np.asarray(encode(w))
-        t_gen = t_serve = 0.0
+        # Median per-run samples: one tunnel-load hiccup (observed to
+        # inflate a sample several-fold) must not sink the batch's
+        # number the way a mean would.
+        gens, serves = [], []
         for i in range(runs):
             t0 = time.time()
             w = generate(params, cfg, cond,
                          rng=jax.random.PRNGKey(2 + i),
                          device_output=True)
             float(jnp.sum(w))                     # device-side sync
-            t_gen += time.time() - t0
-            t0 = time.time()
+            t1 = time.time()
             np.asarray(encode(w))                 # int16 d2h
-            t_serve += time.time() - t0
-        gen = round(B * T / 16000.0 / (t_gen / runs), 1)
-        serve = round(B * T / 16000.0
-                      / ((t_gen + t_serve) / runs), 1)
+            t2 = time.time()
+            gens.append(t1 - t0)
+            serves.append(t2 - t0)
+        gen = round(B * T / 16000.0 / float(np.median(gens)), 1)
+        serve = round(B * T / 16000.0 / float(np.median(serves)), 1)
         results["xrt_B{}".format(B)] = gen
         results["serve_xrt_B{}".format(B)] = serve
         if best is None or gen > best[1]:
