@@ -46,7 +46,7 @@ def test_validator_clean():
 
 def test_entry_count_floor():
     fe = BuiltinFrontEnd()
-    assert len(fe.lexicon) >= 10000
+    assert len(fe.lexicon) >= 20000
 
 
 def _prompt_words():
@@ -71,8 +71,10 @@ def test_oov_rate_on_held_out_prompts():
     tok_oov = sum(1 for w in words
                   if w not in fe.lexicon
                   and not morphological_lookup(w, fe.lexicon))
-    assert len(oov) / len(uniq) <= 0.09, oov
-    assert tok_oov / len(words) <= 0.07, (tok_oov, len(words))
+    # Measured 0.0 at 20k entries (recording time); keep headroom for
+    # prompt-set drift but fail loudly on a coverage regression.
+    assert len(oov) / len(uniq) <= 0.02, oov
+    assert tok_oov / len(words) <= 0.02, (tok_oov, len(words))
 
 
 @_needs_ref
