@@ -311,7 +311,7 @@ def _worker(stage_dir):
     # See docs/PERFORMANCE.md for the full configuration matrix.
     run_optional("training_large",
                  lambda: {"B64": bench_training.training_numbers(
-                     B=64, remat=False, train_profile=True)})
+                     B=64, T=2048, remat=False, train_profile=True)})
 
 
 # ---------------------------------------------------------------------------
